@@ -1,0 +1,211 @@
+"""QVRCNN INT8 inference as a single XLA program (the TPU-native engine).
+
+Design (deliberately NOT a port of the reference's class-per-layer cuDNN
+engine): the whole 9-node graph — preprocess, 6 convs, 2 concats, residual
+add — is ONE jitted function per (params, geometry). XLA fuses the integer
+epilogues into the conv consumers; there are no inter-stage syncs, no
+VECT_C layout shuffles (TPU wants plain NHWC/HWIO), and no per-layer
+buffers to manage.
+
+Numerics: the reference's accumulator is float (convtype=float under the
+active INT8x4 config, mat.cuh:69) carrying exact integer values from
+cuDNN's int32 conv. On TPU we exploit the same representability window:
+int8 values are exact in bfloat16, int8xint8 products are exact in f32,
+and f32 accumulation of integers is exact while every partial sum stays
+below 2^24. `exactness_bounds` certifies that per layer at load time
+(sum |w|*in_max + |b| < 2^24 per output channel), which makes the
+bf16 MXU conv path PROVABLY bit-exact — at full matrix-unit speed.
+Models that violate the certificate fall back to the int conv path.
+
+Reference behavior mirrored: forward_blu (qvrcnn.cu:168-242) with the
+epilogue contract of SURVEY.md §5.1.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import List, Literal, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from qcnn_gpu_tpu.models.oracle import EngineParams
+from qcnn_gpu_tpu.models.topology import QVRCNN_LAYERS
+from qcnn_gpu_tpu.ops.requant import (
+    apply_residual_u8,
+    blu_requant_i32,
+    final_residual_i32,
+)
+
+ConvImpl = Literal["bf16", "int", "auto"]
+
+_DIM_NUMBERS = ("NHWC", "HWIO", "NHWC")
+_EXACT_F32_LIMIT = 1 << 24
+
+
+def exactness_bounds(p: EngineParams) -> List[int]:
+    """Per-layer worst-case |accumulator| bound: max over output channels of
+    sum(|w|) * in_amax + |b|, where in_amax is 128 for C1 (input is x-128)
+    and 127 for BLU-fed layers. If every bound < 2^24, f32 accumulation of
+    the integer conv is exact for ANY input, so the bf16 MXU path is
+    bit-exact."""
+    bounds = []
+    for i, layer in enumerate(QVRCNN_LAYERS):
+        in_amax = 128 if layer.input == "input" else 127
+        w_l1 = np.abs(p.weights[i].astype(np.int64)).sum(axis=(0, 1, 2))
+        bound = int(np.max(w_l1 * in_amax + np.abs(p.biases[i].astype(np.int64))))
+        bounds.append(bound)
+    return bounds
+
+
+def certify_exact_bf16(p: EngineParams) -> bool:
+    return all(b < _EXACT_F32_LIMIT for b in exactness_bounds(p))
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelParams:
+    """Device-ready parameters. Weights/biases as jnp arrays; quant scalars
+    stay Python ints (compile-time constants folded into the XLA program,
+    like the reference folds them into kernel launches)."""
+
+    weights_bf16: Tuple[jnp.ndarray, ...]
+    weights_i8: Tuple[jnp.ndarray, ...]
+    biases_i32: Tuple[jnp.ndarray, ...]
+    blu_q: Tuple[int, ...]
+    mul: Tuple[int, ...]
+    shift: Tuple[int, ...]
+    exact_bf16: bool
+
+    @classmethod
+    def from_engine(cls, p: EngineParams) -> "ModelParams":
+        p.validate()
+        return cls(
+            weights_bf16=tuple(
+                jnp.asarray(w, dtype=jnp.bfloat16) for w in p.weights
+            ),
+            weights_i8=tuple(jnp.asarray(w, dtype=jnp.int8) for w in p.weights),
+            biases_i32=tuple(jnp.asarray(b, dtype=jnp.int32) for b in p.biases),
+            blu_q=tuple(int(v) for v in p.blu_q),
+            mul=tuple(int(v) for v in p.mul),
+            shift=tuple(int(v) for v in p.shift),
+            exact_bf16=certify_exact_bf16(p),
+        )
+
+
+def _conv_bf16(x_bf16, w_bf16, b_i32):
+    u = lax.conv_general_dilated(
+        x_bf16,
+        w_bf16,
+        window_strides=(1, 1),
+        padding="SAME",
+        dimension_numbers=_DIM_NUMBERS,
+        preferred_element_type=jnp.float32,
+    )
+    return u.astype(jnp.int32) + b_i32
+
+
+def _conv_int(x_i32, w_i8, b_i32):
+    u = lax.conv_general_dilated(
+        x_i32.astype(jnp.int8),
+        w_i8,
+        window_strides=(1, 1),
+        padding="SAME",
+        dimension_numbers=_DIM_NUMBERS,
+        preferred_element_type=jnp.int32,
+    )
+    return u + b_i32
+
+
+def resolve_impl(impl: ConvImpl, mp: ModelParams) -> str:
+    if impl != "auto":
+        return impl
+    if mp.exact_bf16 and jax.default_backend() != "cpu":
+        return "bf16"
+    return "int"
+
+
+def residual_blu(
+    x_ppro: jnp.ndarray,
+    mp: ModelParams,
+    impl: str = "int",
+    row_valid: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """The 6-conv/2-concat core on preprocessed input.
+
+    x_ppro: [N, H, W, 1] int32 in [-128, 127] (= x_uint8 - 128).
+    Returns the int32 residual [N, H, W] at raw pixel scale. Exposed
+    separately from the uint8 wrapper so halo-exchange spatial sharding can
+    run the core on halo-extended blocks and crop before the residual add.
+
+    row_valid: optional [H] bool mask marking rows INSIDE the frame. The
+    unsharded engine zero-pads at every layer (SAME), so on frame-boundary
+    shards the halo rows must read as zeros to EVERY conv, not just the
+    first — intermediate activations there are requant(conv(0)+b) != 0.
+    Masking each stage's output on invalid rows reproduces per-layer
+    padding exactly (spatial-sharding bit-exactness depends on this).
+
+    Activations travel between stages as int8-valued int32 (int path) or
+    bfloat16 (bf16 path); BLU outputs are in [0,127] so both are exact.
+    """
+    if impl == "bf16":
+        conv = lambda v, i: _conv_bf16(v.astype(jnp.bfloat16), mp.weights_bf16[i], mp.biases_i32[i])
+    else:
+        conv = lambda v, i: _conv_int(v, mp.weights_i8[i], mp.biases_i32[i])
+
+    if row_valid is None:
+        mask = lambda v: v
+    else:
+        rv = row_valid[None, :, None, None]
+        mask = lambda v: jnp.where(rv, v, 0)
+
+    def requant(u, i):
+        return mask(blu_requant_i32(u, mp.blu_q[i], mp.mul[i], mp.shift[i]))
+
+    v1 = requant(conv(mask(x_ppro), 0), 0)
+    conc1 = jnp.concatenate([requant(conv(v1, 1), 1), requant(conv(v1, 2), 2)], axis=-1)
+    conc2 = jnp.concatenate(
+        [requant(conv(conc1, 3), 3), requant(conv(conc1, 4), 4)], axis=-1
+    )
+    u4 = conv(conc2, 5)
+    return final_residual_i32(u4, mp.mul[5], mp.shift[5])[..., 0]
+
+
+def forward_blu(
+    x_uint8: jnp.ndarray, mp: ModelParams, impl: str = "int"
+) -> jnp.ndarray:
+    """The production static-fused pipeline on [N, H, W] uint8 frames."""
+    x = x_uint8[..., None].astype(jnp.int32) - 128  # ppro (cnn.cu:449)
+    res = residual_blu(x, mp, impl)
+    return apply_residual_u8(x_uint8, res)
+
+
+@functools.partial(jax.jit, static_argnames=("impl",))
+def _forward_jit(x_uint8, mp_arrays, mp_static, impl):
+    mp = ModelParams(
+        weights_bf16=mp_arrays[0],
+        weights_i8=mp_arrays[1],
+        biases_i32=mp_arrays[2],
+        blu_q=mp_static[0],
+        mul=mp_static[1],
+        shift=mp_static[2],
+        exact_bf16=True,
+    )
+    return forward_blu(x_uint8, mp, impl)
+
+
+def make_forward(p: EngineParams, impl: ConvImpl = "auto"):
+    """Build a jitted fn(uint8 [N,H,W]) -> uint8 [N,H,W] restorer."""
+    mp = ModelParams.from_engine(p)
+    chosen = resolve_impl(impl, mp)
+    arrays = (mp.weights_bf16, mp.weights_i8, mp.biases_i32)
+    static = (mp.blu_q, mp.mul, mp.shift)
+
+    def run(x_uint8):
+        return _forward_jit(x_uint8, arrays, static, chosen)
+
+    run.model_params = mp
+    run.impl = chosen
+    return run

@@ -1,0 +1,135 @@
+"""Halo-exchange spatial sharding — bit-exact tiled restoration on a mesh.
+
+TPU generalization of the reference's `divided_run` (model.py:235-255),
+which splits frames >1500px into 2x2 overlapping tiles with a 10px halo
+and crops at stitch time. Here the frame's row axis is sharded over the
+mesh's `sp` axis; each device ppermutes its edge rows (RECEPTIVE_RADIUS=6,
+the exact bound — the reference's 10 was conservative) to its neighbors
+over ICI, runs the full conv pipeline on the halo-extended block, and
+crops the halo from the result.
+
+Bit-exactness argument:
+  * exchange happens in the ppro domain (x-128), where the engine's SAME
+    padding is literal zeros (cnn.cu:44-49 pad, applied after the -128
+    shift, cnn.cu:449) — and lax.ppermute delivers zeros to devices with
+    no source, so frame-boundary devices see exactly the unsharded pad;
+  * every kept output row is >= 6 rows from the extended block's edge, so
+    its full receptive field consists of correct rows.
+Therefore sharded output == unsharded output on every pixel (tested on the
+8-device CPU mesh).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from qcnn_gpu_tpu.models.oracle import EngineParams
+from qcnn_gpu_tpu.models.qvrcnn import ModelParams, residual_blu, resolve_impl
+from qcnn_gpu_tpu.models.topology import RECEPTIVE_RADIUS
+from qcnn_gpu_tpu.ops.requant import apply_residual_u8
+
+
+def halo_exchange_rows(x: jnp.ndarray, axis_name: str, halo: int) -> jnp.ndarray:
+    """Extend a [N, H_local, W, C] block with `halo` rows from each
+    neighbor along `axis_name`. Missing neighbors (frame boundary) yield
+    zeros — matching SAME zero padding in the ppro domain."""
+    n = lax.axis_size(axis_name)
+    if n == 1:
+        pad = [(0, 0)] * x.ndim
+        pad[1] = (halo, halo)
+        return jnp.pad(x, pad)
+    down = [(i, i + 1) for i in range(n - 1)]  # shard i sends to i+1
+    up = [(i + 1, i) for i in range(n - 1)]  # shard i+1 sends to i
+    from_above = lax.ppermute(x[:, -halo:], axis_name, down)
+    from_below = lax.ppermute(x[:, :halo], axis_name, up)
+    return jnp.concatenate([from_above, x, from_below], axis=1)
+
+
+def make_sharded_forward(
+    p: EngineParams,
+    mesh: Mesh,
+    impl: str = "auto",
+    halo: int = RECEPTIVE_RADIUS,
+):
+    """Jitted fn(uint8 [N, H, W]) -> uint8 [N, H, W] over a (dp, sp) mesh.
+
+    N must divide by mesh dp, H by mesh sp. Weights are replicated (54.5k
+    parameters — broadcast once, like the engine's one-time load_para H2D,
+    cnn.cu:105-106).
+    """
+    mp = ModelParams.from_engine(p)
+    chosen = resolve_impl(impl, mp)
+
+    def block_fn(xb):  # xb: [N/dp, H/sp, W] uint8
+        xe = xb[..., None].astype(jnp.int32) - 128
+        xe = halo_exchange_rows(xe, "sp", halo)
+        # Frame-boundary shards: halo rows lie OUTSIDE the frame and must act
+        # as per-layer zero padding (see residual_blu row_valid docstring).
+        idx = lax.axis_index("sp")
+        n_sp = lax.axis_size("sp")
+        h_ext = xe.shape[1]
+        row = jnp.arange(h_ext)
+        row_valid = (row >= jnp.where(idx == 0, halo, 0)) & (
+            row < jnp.where(idx == n_sp - 1, h_ext - halo, h_ext)
+        )
+        res = residual_blu(xe, mp, chosen, row_valid=row_valid)
+        res = res[:, halo:-halo]
+        return apply_residual_u8(xb, res)
+
+    sharded = shard_map(
+        block_fn,
+        mesh=mesh,
+        in_specs=P("dp", "sp", None),
+        out_specs=P("dp", "sp", None),
+        check_rep=False,
+    )
+
+    in_sharding = NamedSharding(mesh, P("dp", "sp", None))
+
+    @jax.jit
+    def run(x_uint8):
+        x_uint8 = jax.lax.with_sharding_constraint(x_uint8, in_sharding)
+        return sharded(x_uint8)
+
+    run.mesh = mesh
+    run.impl = chosen
+    run.in_sharding = in_sharding
+    return run
+
+
+def psnr_sharded(a_uint8, ref_uint8, mesh: Mesh):
+    """Distributed PSNR: per-device partial SSE + psum over the mesh —
+    the collective replacing the host-side double loop (yuv_data.cpp:87-97).
+
+    Matches the reference's double-precision accumulation exactly: squared
+    diffs are integers <= 65025, so an int-valued f64 sum is exact up to
+    2^53 (~10^8 4K frames); computed under a local x64 scope because this
+    environment keeps jax in f32-by-default."""
+    with jax.enable_x64(True):
+
+        def block(a, r):
+            d = a.astype(jnp.float64) - r.astype(jnp.float64)
+            sse = jnp.sum(d * d)
+            sse = lax.psum(sse, "dp")
+            sse = lax.psum(sse, "sp")
+            return sse[None]
+
+        f = shard_map(
+            block,
+            mesh=mesh,
+            in_specs=(P("dp", "sp", None), P("dp", "sp", None)),
+            out_specs=P(None),
+            check_rep=False,
+        )
+        sse = float(f(a_uint8, ref_uint8)[0])
+    n = a_uint8.size
+    mse = sse / n
+    import math
+
+    return 10.0 * math.log10(65025.0 / mse)

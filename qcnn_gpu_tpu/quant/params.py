@@ -1,0 +1,110 @@
+"""Fixed-point quantization tables: dataclasses + on-disk formats.
+
+A quantization table holds one row per conv layer, in topology order
+(C1, C2_1, C2_2, C3_1, C3_2, C4):
+
+    stepw    float  weight quantization step (w_int = round(w_f / stepw))
+    ratio    float  pixel scale at the LAYER INPUT (x_int = round(x_f * ratio));
+                    255 at the network input
+    blu_adj  float  BLU upper bound in the float domain, adjusted so that the
+                    int8 clamp at 127 IS the activation clip
+    blu_q    int    BLU bound in the accumulator (int) domain
+    mul,shift int   requantization as (x * mul) >> shift fixed-point scale
+
+Two serializations, byte-compatible with the reference toolkit
+(`training/quantization.py:90-96`):
+  * pickle list-of-lists            -> quant_params{QP}.data
+  * packed little-endian '6d' rows  -> quant_params_cpp_{QP}.data
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import pickle
+import struct
+from typing import List, Sequence
+
+
+@dataclasses.dataclass(frozen=True)
+class LayerQuant:
+    stepw: float
+    ratio: float
+    blu_adj: float
+    blu_q: int
+    mul: int
+    shift: int
+
+    def as_list(self) -> List[float]:
+        return [self.stepw, self.ratio, self.blu_adj, self.blu_q, self.mul, self.shift]
+
+    @classmethod
+    def from_seq(cls, row: Sequence[float]) -> "LayerQuant":
+        return cls(
+            stepw=float(row[0]),
+            ratio=float(row[1]),
+            blu_adj=float(row[2]),
+            blu_q=int(round(row[3])),
+            mul=int(round(row[4])),
+            shift=int(round(row[5])),
+        )
+
+
+class QuantTable:
+    """Per-QP table of 6 LayerQuant rows."""
+
+    def __init__(self, rows: Sequence[LayerQuant]):
+        if len(rows) != 6:
+            raise ValueError(f"expected 6 rows, got {len(rows)}")
+        self.rows = tuple(rows)
+
+    def __iter__(self):
+        return iter(self.rows)
+
+    def __getitem__(self, i):
+        return self.rows[i]
+
+    def __len__(self):
+        return len(self.rows)
+
+    def __eq__(self, other):
+        return isinstance(other, QuantTable) and all(
+            a == b for a, b in zip(self.rows, other.rows)
+        )
+
+    # ---- pickle format (quant_params{QP}.data) ----
+    @classmethod
+    def load_pickle(cls, path: str) -> "QuantTable":
+        with open(path, "rb") as fp:
+            raw = pickle.load(fp)
+        return cls([LayerQuant.from_seq(r) for r in raw])
+
+    def save_pickle(self, path: str) -> None:
+        with open(path, "wb") as fp:
+            pickle.dump([r.as_list() for r in self.rows], fp)
+
+    # ---- packed-double format (quant_params_cpp_{QP}.data) ----
+    @classmethod
+    def load_packed(cls, path: str) -> "QuantTable":
+        rows = []
+        with open(path, "rb") as fp:
+            for _ in range(6):
+                rows.append(LayerQuant.from_seq(struct.unpack("6d", fp.read(48))))
+        return cls(rows)
+
+    def save_packed(self, path: str) -> None:
+        with open(path, "wb") as fp:
+            for r in self.rows:
+                fp.write(struct.pack("6d", *[float(v) for v in r.as_list()]))
+
+    # convenience column views (match quantization.loadQpara's return order)
+    @property
+    def stepw(self):
+        return [r.stepw for r in self.rows]
+
+    @property
+    def ratio(self):
+        return [r.ratio for r in self.rows]
+
+    @property
+    def blu_adj(self):
+        return [r.blu_adj for r in self.rows]

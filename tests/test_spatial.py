@@ -1,0 +1,57 @@
+"""Sharded vs unsharded bit-equality on the 8-device virtual CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from qcnn_gpu_tpu.models import oracle as O
+from qcnn_gpu_tpu.parallel import make_mesh, make_sharded_forward, mesh_shape_for
+from qcnn_gpu_tpu.parallel.spatial import psnr_sharded
+from qcnn_gpu_tpu.testing import synth_engine_params, synth_frames
+
+
+def _need_devices(n):
+    if len(jax.devices()) < n:
+        pytest.skip(f"needs {n} devices")
+
+
+@pytest.mark.parametrize("dp,sp", [(1, 8), (2, 4), (8, 1), (4, 2)])
+def test_sharded_bit_exact(dp, sp):
+    _need_devices(dp * sp)
+    p = synth_engine_params(37)
+    mesh = make_mesh(dp, sp)
+    run = make_sharded_forward(p, mesh, impl="int")
+    x = synth_frames(dp * 2, sp * 24, 64, seed=dp * 10 + sp)
+    want = O.forward_blu(x, p)
+    got = np.asarray(run(x))
+    assert (got == want).all(), f"{np.sum(got != want)} mismatches at mesh {dp}x{sp}"
+
+
+def test_sharded_small_rows_per_device():
+    """Shard rows down to barely more than the halo — still exact."""
+    _need_devices(8)
+    p = synth_engine_params(27)
+    mesh = make_mesh(1, 8)
+    run = make_sharded_forward(p, mesh, impl="int")
+    x = synth_frames(1, 8 * 8, 48, seed=3)  # 8 rows per device, halo 6
+    assert (np.asarray(run(x)) == O.forward_blu(x, p)).all()
+
+
+def test_psnr_sharded_matches_host():
+    _need_devices(8)
+    from qcnn_gpu_tpu.data import yuv
+
+    mesh = make_mesh(2, 4)
+    a = synth_frames(2, 4 * 16, 32, seed=1)
+    b = synth_frames(2, 4 * 16, 32, seed=2)
+    got = float(psnr_sharded(a, b, mesh))
+    want = yuv.psnr(a, b)
+    assert got == pytest.approx(want, abs=1e-9)
+
+
+def test_mesh_shape_heuristic():
+    assert mesh_shape_for(8, frames=16) == (8, 1)
+    assert mesh_shape_for(8, frames=2, rows=1080) == (2, 4)
+    dp, sp = mesh_shape_for(8, frames=1, rows=64)
+    assert dp == 1 and sp == 1  # too few rows to justify spatial shards

@@ -1,0 +1,241 @@
+"""Command-line interface — the process entry replacing kernel.cu's main
+and training/main.py's tf.app.flags in one place.
+
+    python -m qcnn_gpu_tpu.cli run      --ori ori.yuv --anchor anchor.yuv \
+        --height 240 --width 416 --model model_q37.data --qp 37
+    python -m qcnn_gpu_tpu.cli sweep    --data-root /data --qps 22,27,32,37
+    python -m qcnn_gpu_tpu.cli convert  --infile m.hwcn --informat hwcn \
+        --outfile m.vectc --outformat vect_c
+    python -m qcnn_gpu_tpu.cli train    --ori o.yuv --anchor a.yuv ...
+    python -m qcnn_gpu_tpu.cli finetune --ckpt dir --qp 37 ...
+    python -m qcnn_gpu_tpu.cli calibrate --ckpt dir --qp 37 --out table.data
+    python -m qcnn_gpu_tpu.cli bench
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _add_geometry(p):
+    p.add_argument("--height", type=int, required=True)
+    p.add_argument("--width", type=int, required=True)
+    p.add_argument("--frames", type=int, default=1)
+
+
+def cmd_run(args) -> int:
+    from qcnn_gpu_tpu.engine.runner import Engine
+
+    mesh = None
+    if args.mesh:
+        from qcnn_gpu_tpu.parallel.mesh import make_mesh
+
+        dp, sp = (int(v) for v in args.mesh.split("x"))
+        mesh = make_mesh(dp, sp)
+    eng = Engine(impl=args.impl, mesh=mesh, out_dir=args.out_dir)
+    eng.load_model(args.qp, args.model, fmt=args.model_format)
+    rec = eng.run_sequence(
+        name=args.anchor,
+        ori_path=args.ori,
+        anchor_path=args.anchor,
+        height=args.height,
+        width=args.width,
+        qp=args.qp,
+        frames=args.frames,
+        recon_path=args.recon,
+    )
+    print(
+        f"before net: PSNR={rec.psnr_before:.3f}\n"
+        f"after quantized net: PSNR={rec.psnr_after:.3f}\n"
+        f"time: {rec.time_us}us ({rec.fps:.1f} fps, impl={rec.impl})"
+    )
+    return 0
+
+
+def cmd_sweep(args) -> int:
+    from qcnn_gpu_tpu.data.manifest import JCTVC_SEQUENCES, load_manifest
+    from qcnn_gpu_tpu.engine.runner import Engine
+
+    specs = load_manifest(args.manifest) if args.manifest else JCTVC_SEQUENCES
+    eng = Engine(impl=args.impl, out_dir=args.out_dir)
+    for qp in (int(q) for q in args.qps.split(",")):
+        eng.load_model(qp, args.model_pattern % qp, fmt=args.model_format)
+    records = eng.run_manifest(
+        specs, args.data_root, qps=[int(q) for q in args.qps.split(",")]
+    )
+    for r in records:
+        print(f"{r.sequence} QP{r.qp}: {r.psnr_before:.3f} -> {r.psnr_after:.3f} dB, {r.fps:.1f} fps")
+    return 0
+
+
+def cmd_convert(args) -> int:
+    from qcnn_gpu_tpu.data import model_files as MF
+
+    readers = {
+        "hwcn": MF.read_static_qfp_hwcn,
+        "vect_c": MF.read_static_qfp_vect_c,
+    }
+    writers = {
+        "hwcn": MF.write_static_qfp_hwcn,
+        "vect_c": MF.write_static_qfp_vect_c,
+    }
+    params = readers[args.informat](args.infile)
+    writers[args.outformat](args.outfile, params)
+    print(f"converted {args.infile} ({args.informat}) -> {args.outfile} ({args.outformat})")
+    return 0
+
+
+def cmd_train(args) -> int:
+    import jax
+
+    from qcnn_gpu_tpu.data.datasets import PatchDataset, PrefetchLoader
+    from qcnn_gpu_tpu.parallel.mesh import make_mesh
+    from qcnn_gpu_tpu.quant.solver import BLU_INIT
+    from qcnn_gpu_tpu.train.trainer import TrainConfig, Trainer
+
+    cfg = TrainConfig(
+        qp=args.qp, blu=args.blu, lr=args.lr, batch_size=args.batch_size,
+        epochs=args.epochs, seed=args.seed,
+    )
+    ds = PatchDataset.from_yuv(
+        [(args.ori, args.anchor, args.height, args.width)],
+        frames=args.frames, patch=cfg.patch, seed=cfg.seed,
+    )
+    mesh = make_mesh(len(jax.devices()), 1)
+    blu_ub = BLU_INIT[args.qp] if args.blu else None
+    tr = Trainer(cfg, mesh=mesh, blu_ub=blu_ub)
+    if args.resume:
+        tr.load_checkpoint(args.ckpt)
+    steps = args.steps or (ds.pieces // cfg.batch_size) * cfg.epochs
+    tr.fit_batches(PrefetchLoader(ds.batches(cfg.batch_size, steps)))
+    tr.save_checkpoint(args.ckpt)
+    print(f"trained {steps} steps -> {args.ckpt}")
+    return 0
+
+
+def cmd_calibrate(args) -> int:
+    import numpy as np
+
+    from qcnn_gpu_tpu.data import yuv
+    from qcnn_gpu_tpu.data.model_files import write_static_qfp_hwcn, write_static_qfp_vect_c
+    from qcnn_gpu_tpu.engine.calibrate import calibrate_blu_bounds, quantize_model, solve_table
+    from qcnn_gpu_tpu.models import float_model as FM
+    from qcnn_gpu_tpu.train.checkpoint import load_checkpoint
+    import optax
+
+    params_t = FM.init_params(0)
+    opt_t = optax.adam(1e-4).init(params_t)
+    params, _, _ = load_checkpoint(args.ckpt, params_t, opt_t)
+    if args.sample:
+        sample = yuv.read_y(args.sample, args.height, args.width, args.frames)
+        blu = calibrate_blu_bounds(params, sample)
+    else:
+        blu = None
+    table = solve_table(params, blu_bounds=blu, qp=args.qp)
+    table.save_pickle(args.table_out)
+    ep = quantize_model(params, table)
+    if args.model_out:
+        if args.model_format == "vect_c":
+            write_static_qfp_vect_c(args.model_out, ep)
+        else:
+            write_static_qfp_hwcn(args.model_out, ep)
+    print(f"table -> {args.table_out}" + (f", model -> {args.model_out}" if args.model_out else ""))
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import bench
+
+    bench.main()
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="qcnn_gpu_tpu", description=__doc__)
+    ap.add_argument(
+        "--platform",
+        default=None,
+        help="force a jax platform (e.g. cpu); NOTE: env vars like "
+        "JAX_PLATFORMS are clobbered by this environment's sitecustomize, "
+        "only the in-process config.update works reliably",
+    )
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("run", help="restore one sequence (testqvrcnn analog)")
+    p.add_argument("--ori", required=True)
+    p.add_argument("--anchor", required=True)
+    _add_geometry(p)
+    p.add_argument("--model", required=True)
+    p.add_argument("--model-format", default="vect_c", choices=["vect_c", "hwcn"])
+    p.add_argument("--qp", type=int, required=True)
+    p.add_argument("--impl", default="auto", choices=["auto", "bf16", "int"])
+    p.add_argument("--mesh", default="", help="dpxsp, e.g. 2x4")
+    p.add_argument("--recon", default=None)
+    p.add_argument("--out-dir", default=".")
+    p.set_defaults(fn=cmd_run)
+
+    p = sub.add_parser("sweep", help="run the JCT-VC manifest (run_all analog)")
+    p.add_argument("--data-root", required=True)
+    p.add_argument("--model-pattern", required=True, help="e.g. models/q%%d.data")
+    p.add_argument("--model-format", default="vect_c", choices=["vect_c", "hwcn"])
+    p.add_argument("--qps", default="22,27,32,37")
+    p.add_argument("--manifest", default=None)
+    p.add_argument("--impl", default="auto")
+    p.add_argument("--out-dir", default=".")
+    p.set_defaults(fn=cmd_sweep)
+
+    p = sub.add_parser("convert", help="model file format conversion")
+    p.add_argument("--infile", required=True)
+    p.add_argument("--informat", required=True, choices=["hwcn", "vect_c"])
+    p.add_argument("--outfile", required=True)
+    p.add_argument("--outformat", required=True, choices=["hwcn", "vect_c"])
+    p.set_defaults(fn=cmd_convert)
+
+    p = sub.add_parser("train", help="float training")
+    p.add_argument("--ori", required=True)
+    p.add_argument("--anchor", required=True)
+    _add_geometry(p)
+    p.add_argument("--qp", type=int, default=37)
+    p.add_argument("--blu", action="store_true")
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--epochs", type=int, default=1)
+    p.add_argument("--steps", type=int, default=0)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--ckpt", default="checkpoint")
+    p.add_argument("--resume", action="store_true")
+    p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("calibrate", help="solve quant table from a checkpoint")
+    p.add_argument("--ckpt", required=True)
+    p.add_argument("--qp", type=int, default=37)
+    p.add_argument("--sample", default=None, help="YUV file for 3-sigma BLU stats")
+    p.add_argument("--height", type=int, default=0)
+    p.add_argument("--width", type=int, default=0)
+    p.add_argument("--frames", type=int, default=1)
+    p.add_argument("--table-out", default="quant_table.data")
+    p.add_argument("--model-out", default=None)
+    p.add_argument("--model-format", default="vect_c", choices=["vect_c", "hwcn"])
+    p.set_defaults(fn=cmd_calibrate)
+
+    p = sub.add_parser("bench", help="headline benchmark")
+    p.set_defaults(fn=cmd_bench)
+    return ap
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    try:
+        return args.fn(args)
+    except (FileNotFoundError, EOFError, ValueError, KeyError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

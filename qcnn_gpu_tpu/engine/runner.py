@@ -1,0 +1,166 @@
+"""The inference engine runner — program cache, streaming, metrics.
+
+Replaces the reference harness (`testqvrcnn`/`run_all`, kernel.cu:74-131)
+with a TPU-first design:
+
+  * one compiled XLA program per (qp, geometry, impl, mesh) — cached, like
+    the reference reuses one built network per sequence but without
+    per-layer descriptor plumbing;
+  * frames stream host->device in batches with the NEXT batch's transfer
+    overlapped behind the current batch's compute (JAX async dispatch +
+    explicit device_put ahead of wait) — replacing the synchronous
+    per-frame cudaMemcpy loop (kernel.cu:91-97);
+  * per-sequence metrics to the structured log (engine/metrics.py).
+
+Timing matches the reference's definition: wall clock around the whole
+frame loop INCLUDING host<->device transfers (kernel.cu:89-101).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import numpy as np
+
+from qcnn_gpu_tpu.data import yuv
+from qcnn_gpu_tpu.data.model_files import (
+    read_static_qfp_hwcn,
+    read_static_qfp_vect_c,
+)
+from qcnn_gpu_tpu.engine.metrics import MetricsLog, RunRecord
+from qcnn_gpu_tpu.models.oracle import EngineParams
+from qcnn_gpu_tpu.models.qvrcnn import make_forward
+
+
+class Engine:
+    def __init__(
+        self,
+        impl: str = "auto",
+        mesh=None,
+        out_dir: str = ".",
+        batch_frames: int = 4,
+    ):
+        self.impl = impl
+        self.mesh = mesh
+        self.batch_frames = batch_frames
+        self.metrics = MetricsLog(out_dir)
+        self._models: Dict[int, EngineParams] = {}
+        self._programs: Dict[Tuple, object] = {}
+
+    # ---- model management (load_static_para analog, qvrcnn.cu:47-63) ----
+    def load_model(self, qp: int, path: str, fmt: str = "vect_c") -> None:
+        import os
+
+        if not os.path.exists(path):
+            # "cannot open model file." (qvrcnn.cu:33-36), minus the exit(1)
+            raise FileNotFoundError(f"cannot open model file: {path}")
+        reader = {"vect_c": read_static_qfp_vect_c, "hwcn": read_static_qfp_hwcn}[fmt]
+        self._models[qp] = reader(path)
+
+    def set_model(self, qp: int, params: EngineParams) -> None:
+        self._models[qp] = params
+
+    def _program(self, qp: int):
+        key = (qp, self.impl, id(self.mesh))
+        if key not in self._programs:
+            if qp not in self._models:
+                raise KeyError(f"no model loaded for QP{qp}")
+            if self.mesh is not None:
+                from qcnn_gpu_tpu.parallel.spatial import make_sharded_forward
+
+                self._programs[key] = make_sharded_forward(
+                    self._models[qp], self.mesh, impl=self.impl
+                )
+            else:
+                self._programs[key] = make_forward(self._models[qp], impl=self.impl)
+        return self._programs[key]
+
+    # ---- restoration ----
+    def restore(self, frames: np.ndarray, qp: int) -> np.ndarray:
+        """uint8 [N, H, W] -> restored uint8 [N, H, W] (blocking)."""
+        run = self._program(qp)
+        return np.asarray(run(frames))
+
+    def restore_stream(self, frames: np.ndarray, qp: int) -> np.ndarray:
+        """Batched streaming restore: device transfer of batch i+1 is
+        issued while batch i computes."""
+        run = self._program(qp)
+        n = frames.shape[0]
+        bs = self.batch_frames
+        outs: List = []
+        pending = None
+        device = jax.devices()[0] if self.mesh is None else None
+        for i in range(0, n, bs):
+            chunk = frames[i : i + bs]
+            staged = jax.device_put(chunk, device) if device is not None else chunk
+            out = run(staged)  # async dispatch
+            if pending is not None:
+                outs.append(np.asarray(pending))  # blocks on previous batch
+            pending = out
+        if pending is not None:
+            outs.append(np.asarray(pending))
+        return np.concatenate(outs, axis=0)
+
+    def warmup(self, qp: int, height: int, width: int) -> None:
+        """Compile ahead of the timed region (first-compile is seconds)."""
+        run = self._program(qp)
+        dummy = np.zeros((min(self.batch_frames, 1), height, width), np.uint8)
+        np.asarray(run(dummy))
+
+    # ---- the testqvrcnn analog (kernel.cu:74-116) ----
+    def run_sequence(
+        self,
+        name: str,
+        ori_path: str,
+        anchor_path: str,
+        height: int,
+        width: int,
+        qp: int,
+        frames: int = 1,
+        recon_path: Optional[str] = None,
+    ) -> RunRecord:
+        ori = yuv.read_y(ori_path, height, width, frames)
+        anchor = yuv.read_y(anchor_path, height, width, frames)
+        self.warmup(qp, height, width)
+
+        t0 = time.perf_counter()
+        recon = self.restore_stream(anchor, qp)
+        time_us = int((time.perf_counter() - t0) * 1e6)
+
+        rec = RunRecord(
+            sequence=name,
+            qp=qp,
+            frames=frames,
+            height=height,
+            width=width,
+            psnr_before=yuv.psnr(anchor, ori),
+            psnr_after=yuv.psnr(recon, ori),
+            time_us=time_us,
+            impl=getattr(self._program(qp), "impl", self.impl),
+            mesh="" if self.mesh is None else "x".join(map(str, self.mesh.devices.shape)),
+        )
+        self.metrics.append(rec)
+        if recon_path:
+            yuv.write_y_as_420(recon_path, recon)
+        return rec
+
+    def run_manifest(self, specs, data_root: str, qps=(22, 27, 32, 37), **kw):
+        """The run_all analog: sweep sequences x QPs (kernel.cu:117-131)."""
+        records = []
+        for qp in qps:
+            for s in specs:
+                records.append(
+                    self.run_sequence(
+                        s.name,
+                        s.ori_path(data_root),
+                        s.anchor_path(data_root, qp),
+                        s.height,
+                        s.width,
+                        qp,
+                        frames=s.frames,
+                        **kw,
+                    )
+                )
+        return records

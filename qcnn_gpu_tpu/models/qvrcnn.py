@@ -95,6 +95,115 @@ class ModelParams:
         )
 
 
+@dataclasses.dataclass(frozen=True)
+class MergedParams:
+    """Branch-merged parameters: each concat stage's two convs fused into
+    ONE conv by zero-padding the smaller kernel to the larger size and
+    stacking output channels in concat order. Bit-identical (the padded
+    taps contribute exact zeros) and much friendlier to TPU layouts: the
+    16/32-channel branch tensors — which XLA pads to 128 lanes at an 8x
+    memory blow-up — disappear; every intermediate is 48 or 64 channels,
+    and 4 large convs replace 6 small ones.
+
+      S1: 5x5x 1->64  (C1)
+      S2: 5x5x64->48  (C2_1 3x3 zero-padded to 5x5 | C2_2), concat order
+          matching ConcatLayer (cnn.cu:375-394)
+      S3: 3x3x48->48  (C3_1 | C3_2 1x1 zero-padded to 3x3)
+      S4: 3x3x48->1   (C4)
+
+    Requant scalars become per-output-channel vectors (the engine's
+    per-branch mul/shift/blu, applied channel-wise)."""
+
+    w_bf16: Tuple[jnp.ndarray, ...]
+    w_i8: Tuple[jnp.ndarray, ...]
+    b_i32: Tuple[jnp.ndarray, ...]
+    blu_q: Tuple[jnp.ndarray, ...]  # per-channel i32, stages 1..3
+    mul: Tuple[jnp.ndarray, ...]
+    bias_pre: Tuple[jnp.ndarray, ...]  # (1<<(shift-1))//mul, precomputed
+    shift: Tuple[jnp.ndarray, ...]
+    mul4: int
+    shift4: int
+    exact_bf16: bool
+
+    @classmethod
+    def from_engine(cls, p: EngineParams) -> "MergedParams":
+        p.validate()
+
+        def pad_kernel(w: np.ndarray, k_to: int) -> np.ndarray:
+            k = w.shape[0]
+            r = (k_to - k) // 2
+            return np.pad(w, ((r, r), (r, r), (0, 0), (0, 0)))
+
+        w = [np.asarray(x, dtype=np.int8) for x in p.weights]
+        b = [np.asarray(x, dtype=np.int32) for x in p.biases]
+        ws = [
+            w[0],
+            np.concatenate([pad_kernel(w[1], 5), w[2]], axis=3),
+            np.concatenate([w[3], pad_kernel(w[4], 3)], axis=3),
+            w[5],
+        ]
+        bs = [b[0], np.concatenate([b[1], b[2]]), np.concatenate([b[3], b[4]]), b[5]]
+
+        def vec(idx_pairs):
+            """Per-channel requant vectors for a merged stage."""
+            blu, mul, bias, shift = [], [], [], []
+            for idx, nch in idx_pairs:
+                blu += [p.blu_q[idx]] * nch
+                mul += [p.mul[idx]] * nch
+                bias += [(1 << (p.shift[idx] - 1)) // p.mul[idx]] * nch
+                shift += [p.shift[idx]] * nch
+            return tuple(
+                jnp.asarray(v, dtype=jnp.int32) for v in (blu, mul, bias, shift)
+            )
+
+        v1 = vec([(0, 64)])
+        v2 = vec([(1, 32), (2, 16)])
+        v3 = vec([(3, 16), (4, 32)])
+        return cls(
+            w_bf16=tuple(jnp.asarray(x, dtype=jnp.bfloat16) for x in ws),
+            w_i8=tuple(jnp.asarray(x, dtype=jnp.int8) for x in ws),
+            b_i32=tuple(jnp.asarray(x, dtype=jnp.int32) for x in bs),
+            blu_q=(v1[0], v2[0], v3[0]),
+            mul=(v1[1], v2[1], v3[1]),
+            bias_pre=(v1[2], v2[2], v3[2]),
+            shift=(v1[3], v2[3], v3[3]),
+            mul4=int(p.mul[5]),
+            shift4=int(p.shift[5]),
+            exact_bf16=certify_exact_bf16(p),
+        )
+
+
+def residual_blu_merged(
+    x_ppro: jnp.ndarray,
+    mp: "MergedParams",
+    impl: str = "bf16",
+    row_valid: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Merged-stage core: 4 convs, per-channel vector requant. Bit-equal to
+    residual_blu (tested); this is the production path."""
+    if impl == "bf16":
+        conv = lambda v, i: _conv_bf16(v.astype(jnp.bfloat16), mp.w_bf16[i], mp.b_i32[i])
+    else:
+        conv = lambda v, i: _conv_int(v, mp.w_i8[i], mp.b_i32[i])
+
+    if row_valid is None:
+        mask = lambda v: v
+    else:
+        rv = row_valid[None, :, None, None]
+        mask = lambda v: jnp.where(rv, v, 0)
+
+    def requant(u, i):
+        mid = jnp.right_shift((u + mp.bias_pre[i]) * mp.mul[i], mp.shift[i])
+        v = jnp.where(u > mp.blu_q[i], 127, jnp.where(u < 0, 0, mid))
+        return mask(v)
+
+    v1 = requant(conv(mask(x_ppro), 0), 0)
+    v2 = requant(conv(v1, 1), 1)
+    v3 = requant(conv(v2, 2), 2)
+    u4 = conv(v3, 3)
+    return final_residual_i32(u4, mp.mul4, mp.shift4)[..., 0]
+
+
 def _conv_bf16(x_bf16, w_bf16, b_i32):
     u = lax.conv_general_dilated(
         x_bf16,
@@ -182,30 +291,34 @@ def forward_blu(
     return apply_residual_u8(x_uint8, res)
 
 
-@functools.partial(jax.jit, static_argnames=("impl",))
-def _forward_jit(x_uint8, mp_arrays, mp_static, impl):
-    mp = ModelParams(
-        weights_bf16=mp_arrays[0],
-        weights_i8=mp_arrays[1],
-        biases_i32=mp_arrays[2],
-        blu_q=mp_static[0],
-        mul=mp_static[1],
-        shift=mp_static[2],
-        exact_bf16=True,
-    )
-    return forward_blu(x_uint8, mp, impl)
+def make_forward(p: EngineParams, impl: ConvImpl = "auto", merged: bool = True):
+    """Build a jitted fn(uint8 [N,H,W]) -> uint8 [N,H,W] restorer.
 
-
-def make_forward(p: EngineParams, impl: ConvImpl = "auto"):
-    """Build a jitted fn(uint8 [N,H,W]) -> uint8 [N,H,W] restorer."""
+    merged=True (default) uses the branch-merged 4-conv program — the fast
+    TPU layout; merged=False keeps the literal 6-conv graph (debug parity
+    with the reference's per-layer structure)."""
     mp = ModelParams.from_engine(p)
     chosen = resolve_impl(impl, mp)
-    arrays = (mp.weights_bf16, mp.weights_i8, mp.biases_i32)
-    static = (mp.blu_q, mp.mul, mp.shift)
+
+    if merged:
+        mpar = MergedParams.from_engine(p)
+
+        @jax.jit
+        def run_impl(x_uint8):
+            x = x_uint8[..., None].astype(jnp.int32) - 128
+            res = residual_blu_merged(x, mpar, chosen)
+            return apply_residual_u8(x_uint8, res)
+
+    else:
+
+        @jax.jit
+        def run_impl(x_uint8):
+            return forward_blu(x_uint8, mp, chosen)
 
     def run(x_uint8):
-        return _forward_jit(x_uint8, arrays, static, chosen)
+        return run_impl(x_uint8)
 
     run.model_params = mp
     run.impl = chosen
+    run.merged = merged
     return run

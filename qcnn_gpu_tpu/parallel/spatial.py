@@ -30,7 +30,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
 from qcnn_gpu_tpu.models.oracle import EngineParams
-from qcnn_gpu_tpu.models.qvrcnn import ModelParams, residual_blu, resolve_impl
+from qcnn_gpu_tpu.models.qvrcnn import (
+    MergedParams,
+    ModelParams,
+    residual_blu_merged,
+    resolve_impl,
+)
 from qcnn_gpu_tpu.models.topology import RECEPTIVE_RADIUS
 from qcnn_gpu_tpu.ops.requant import apply_residual_u8
 
@@ -65,6 +70,7 @@ def make_sharded_forward(
     """
     mp = ModelParams.from_engine(p)
     chosen = resolve_impl(impl, mp)
+    mpar = MergedParams.from_engine(p)
 
     def block_fn(xb):  # xb: [N/dp, H/sp, W] uint8
         xe = xb[..., None].astype(jnp.int32) - 128
@@ -78,7 +84,7 @@ def make_sharded_forward(
         row_valid = (row >= jnp.where(idx == 0, halo, 0)) & (
             row < jnp.where(idx == n_sp - 1, h_ext - halo, h_ext)
         )
-        res = residual_blu(xe, mp, chosen, row_valid=row_valid)
+        res = residual_blu_merged(xe, mpar, chosen, row_valid=row_valid)
         res = res[:, halo:-halo]
         return apply_residual_u8(xb, res)
 

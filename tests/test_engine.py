@@ -1,0 +1,140 @@
+"""Engine runner + calibration + CLI end-to-end on temp files."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from qcnn_gpu_tpu.data import model_files, yuv
+from qcnn_gpu_tpu.engine import Engine
+from qcnn_gpu_tpu.models import oracle as O
+from qcnn_gpu_tpu.testing import synth_engine_params, synth_frames
+
+
+@pytest.fixture
+def clip(tmp_path):
+    ori = synth_frames(3, 48, 64, seed=11)
+    anchor = np.clip(
+        ori.astype(int) + np.random.default_rng(1).integers(-4, 5, ori.shape), 0, 255
+    ).astype(np.uint8)
+    ori_p = str(tmp_path / "ori.yuv")
+    anc_p = str(tmp_path / "anchor.yuv")
+    yuv.write_y_as_420(ori_p, ori)
+    yuv.write_y_as_420(anc_p, anchor)
+    return ori_p, anc_p, ori, anchor
+
+
+def test_run_sequence_logs_and_matches_oracle(tmp_path, clip):
+    ori_p, anc_p, ori, anchor = clip
+    p = synth_engine_params(37)
+    model_p = str(tmp_path / "m.data")
+    model_files.write_static_qfp_vect_c(model_p, p)
+
+    eng = Engine(impl="int", out_dir=str(tmp_path), batch_frames=2)
+    eng.load_model(37, model_p)
+    rec = eng.run_sequence(
+        "testclip", ori_p, anc_p, 48, 64, qp=37, frames=3,
+        recon_path=str(tmp_path / "recon.yuv"),
+    )
+    # recon on disk matches the oracle bit-for-bit
+    recon = yuv.read_y(str(tmp_path / "recon.yuv"), 48, 64)
+    want = O.forward_blu(anchor, p)
+    assert (recon == want).all()
+    assert rec.psnr_after == yuv.psnr(want, ori)
+    # all three metric sinks written
+    assert os.path.exists(tmp_path / "runs.jsonl")
+    assert os.path.exists(tmp_path / "log.txt")
+    got = json.loads(open(tmp_path / "runs.jsonl").read().splitlines()[-1])
+    assert got["sequence"] == "testclip" and got["qp"] == 37
+    binary = model_files.read_psnr_goldens(str(tmp_path / "recon_psnr.data"))
+    assert binary[-1] == pytest.approx(rec.psnr_after)
+
+
+def test_restore_stream_equals_restore(clip, tmp_path):
+    _, _, _, anchor = clip
+    p = synth_engine_params(27)
+    eng = Engine(impl="int", out_dir=str(tmp_path), batch_frames=2)
+    eng.set_model(27, p)
+    a = eng.restore(anchor, 27)
+    b = eng.restore_stream(anchor, 27)
+    assert (a == b).all()
+
+
+def test_missing_model_raises(tmp_path):
+    eng = Engine(out_dir=str(tmp_path))
+    with pytest.raises(KeyError):
+        eng.restore(np.zeros((1, 16, 16), np.uint8), 99)
+
+
+def test_calibration_pipeline(tmp_path):
+    """float params -> 3-sigma BLU -> table -> int model -> runs bit-exact."""
+    from qcnn_gpu_tpu.engine import calibrate as C
+    from qcnn_gpu_tpu.models import float_model as FM
+
+    params = FM.init_params(3)
+    sample = synth_frames(1, 48, 64, seed=5)
+    blu = C.calibrate_blu_bounds(params, sample)
+    assert len(blu) == 6 and blu[5] == 0.0 and all(b > 0 for b in blu[:5])
+    table = C.solve_table(params, blu_bounds=blu)
+    for row in table.rows[:5]:
+        assert 127.0 < row.blu_q * row.mul / 2.0**row.shift <= 127.5
+    ep = C.quantize_model(params, table)
+    eng = Engine(impl="int", out_dir=str(tmp_path))
+    eng.set_model(0, ep)
+    out = eng.restore(sample, 0)
+    assert (out == O.forward_blu(sample, ep)).all()
+
+
+def test_calibrate_dynamic_telemetry():
+    from qcnn_gpu_tpu.engine.calibrate import calibrate_dynamic
+    from qcnn_gpu_tpu.testing import synth_dynamic_params
+
+    p = synth_dynamic_params(37)
+    frames = synth_frames(2, 32, 48, seed=2)
+    maxima, tel = calibrate_dynamic(p, frames)
+    assert len(maxima) == 3 and len(tel) == 2
+    assert all(m > 0 for m in maxima)
+
+
+def test_cli_run_and_convert(tmp_path, clip, capsys):
+    from qcnn_gpu_tpu import cli
+
+    ori_p, anc_p, _, anchor = clip
+    p = synth_engine_params(37)
+    hwcn = str(tmp_path / "m.hwcn")
+    vect = str(tmp_path / "m.vectc")
+    model_files.write_static_qfp_hwcn(hwcn, p)
+
+    rc = cli.main(
+        ["convert", "--infile", hwcn, "--informat", "hwcn", "--outfile", vect, "--outformat", "vect_c"]
+    )
+    assert rc == 0
+    q = model_files.read_static_qfp_vect_c(vect)
+    assert (q.weights[0] == p.weights[0]).all()
+
+    rc = cli.main(
+        [
+            "run", "--ori", ori_p, "--anchor", anc_p, "--height", "48", "--width", "64",
+            "--frames", "3", "--model", vect, "--qp", "37", "--impl", "int",
+            "--out-dir", str(tmp_path), "--recon", str(tmp_path / "r.yuv"),
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "after quantized net" in out
+    recon = yuv.read_y(str(tmp_path / "r.yuv"), 48, 64)
+    assert (recon == O.forward_blu(anchor, p)).all()
+
+
+def test_manifest_roundtrip(tmp_path):
+    from qcnn_gpu_tpu.data.manifest import JCTVC_SEQUENCES, load_manifest, save_manifest
+
+    assert len(JCTVC_SEQUENCES) == 18
+    path = str(tmp_path / "m.json")
+    save_manifest(path, JCTVC_SEQUENCES[:3])
+    back = load_manifest(path)
+    assert back == JCTVC_SEQUENCES[:3]
+    assert JCTVC_SEQUENCES[0].anchor_path("/d", 22).endswith(
+        "Traffic_intra_main_HM16.0_anchor_Q22.yuv"
+    )

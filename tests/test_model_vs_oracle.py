@@ -14,17 +14,19 @@ from qcnn_gpu_tpu.testing import synth_engine_params, synth_frames
 
 
 @pytest.mark.parametrize("qp", [22, 27, 32, 37])
-def test_int_path_bit_exact(qp):
+@pytest.mark.parametrize("merged", [True, False])
+def test_int_path_bit_exact(qp, merged):
     p = synth_engine_params(qp)
     x = synth_frames(2, 48, 64, seed=qp)
     want = O.forward_blu(x, p)
-    run = M.make_forward(p, impl="int")
+    run = M.make_forward(p, impl="int", merged=merged)
     got = np.asarray(run(x))
     assert (got == want).all(), f"QP{qp}: {np.sum(got != want)} mismatched pixels"
 
 
 @pytest.mark.parametrize("qp", [22, 37])
-def test_bf16_path_bit_exact(qp):
+@pytest.mark.parametrize("merged", [True, False])
+def test_bf16_path_bit_exact(qp, merged):
     """bf16 MXU-style path under the exactness certificate. On CPU XLA still
     emulates bf16 conv with f32 accumulation, so the certificate argument
     holds there too."""
@@ -32,9 +34,30 @@ def test_bf16_path_bit_exact(qp):
     assert M.certify_exact_bf16(p), "synth params must satisfy the certificate"
     x = synth_frames(1, 40, 56, seed=qp + 10)
     want = O.forward_blu(x, p)
-    run = M.make_forward(p, impl="bf16")
+    run = M.make_forward(p, impl="bf16", merged=merged)
     got = np.asarray(run(x))
     assert (got == want).all(), f"QP{qp}: {np.sum(got != want)} mismatched pixels"
+
+
+def test_merged_weights_construction():
+    """Merged kernels: zero-padded smaller kernels, concat-ordered channels,
+    per-channel requant vectors matching the per-branch scalars."""
+    p = synth_engine_params(37)
+    mp = M.MergedParams.from_engine(p)
+    w2 = np.asarray(mp.w_i8[1])
+    assert w2.shape == (5, 5, 64, 48)
+    # C2_1's 3x3 sits centered in the 5x5, ring is zero
+    assert (w2[1:4, 1:4, :, :32] == p.weights[1]).all()
+    assert (w2[0, :, :, :32] == 0).all() and (w2[:, 0, :, :32] == 0).all()
+    assert (w2[:, :, :, 32:] == p.weights[2]).all()
+    w3 = np.asarray(mp.w_i8[2])
+    assert (w3[:, :, :, :16] == p.weights[3]).all()
+    assert (w3[1, 1, :, 16:] == p.weights[4][0, 0]).all()
+    assert (w3[0, :, :, 16:] == 0).all()
+    # per-channel vectors carry the branch scalars
+    assert (np.asarray(mp.mul[1])[:32] == p.mul[1]).all()
+    assert (np.asarray(mp.mul[1])[32:] == p.mul[2]).all()
+    assert (np.asarray(mp.shift[2])[:16] == p.shift[3]).all()
 
 
 def test_exactness_bounds_reasonable():

@@ -32,8 +32,16 @@ def read_y(
     """Read Y planes of a YUV420p file -> uint8 [frames, H, W].
 
     `start` skips whole frames first (cf. read_frame's fseek,
-    yuv_data.cpp:44-66). frames=None reads to EOF.
+    yuv_data.cpp:44-66). frames=None reads to EOF. Uses the native C++
+    reader when available (qcnn_gpu_tpu.native); this NumPy path is the
+    fallback and semantic definition.
     """
+    if frames is not None:
+        from qcnn_gpu_tpu import native
+
+        out = native.read_y(path, height, width, frames, start)
+        if out is not None:
+            return out
     fsz = frame_size_420(height, width)
     ysz = height * width
     out = []

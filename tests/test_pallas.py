@@ -1,0 +1,46 @@
+"""Fused Pallas pipeline vs oracle — bit-exact (interpreter mode on CPU)."""
+
+import numpy as np
+import pytest
+
+from qcnn_gpu_tpu.models import oracle as O
+from qcnn_gpu_tpu.ops.pallas_pipeline import build_pallas_forward
+from qcnn_gpu_tpu.testing import synth_engine_params, synth_frames
+
+
+@pytest.mark.parametrize("qp", [22, 37])
+def test_pallas_bit_exact(qp):
+    p = synth_engine_params(qp)
+    run = build_pallas_forward(p, interpret=True)
+    x = synth_frames(1, 40, 300, seed=qp)  # multi-tile both dims
+    got = np.asarray(run(x))
+    want = O.forward_blu(x, p)
+    assert (got == want).all(), f"{np.sum(got != want)} mismatches"
+
+
+def test_pallas_odd_geometry_and_edges():
+    p = synth_engine_params(27)
+    run = build_pallas_forward(p, interpret=True)
+    for h, w, seed in ((37, 53, 1), (16, 244, 2), (18, 250, 3)):
+        x = synth_frames(1, h, w, seed=seed)
+        got = np.asarray(run(x))
+        want = O.forward_blu(x, p)
+        assert (got == want).all(), (h, w, np.sum(got != want))
+
+
+def test_pallas_extreme_frames():
+    p = synth_engine_params(32)
+    run = build_pallas_forward(p, interpret=True)
+    h, w = 20, 250
+    for x in (
+        np.zeros((1, h, w), np.uint8),
+        np.full((1, h, w), 255, np.uint8),
+    ):
+        assert (np.asarray(run(x)) == O.forward_blu(x, p)).all()
+
+
+def test_pallas_batch():
+    p = synth_engine_params(37)
+    run = build_pallas_forward(p, interpret=True)
+    x = synth_frames(3, 24, 250, seed=9)
+    assert (np.asarray(run(x)) == O.forward_blu(x, p)).all()

@@ -144,6 +144,83 @@ def cmd_calibrate(args) -> int:
     return 0
 
 
+def cmd_eval_float(args) -> int:
+    """Float-model evaluation over a sequence — the test() analog
+    (model.py:257-297): per-sequence PSNR before/after, binary psnr.data +
+    psnr_ori.data records."""
+    import os
+
+    import numpy as np
+    import optax
+
+    from qcnn_gpu_tpu.data import yuv
+    from qcnn_gpu_tpu.data.model_files import append_psnr_record
+    from qcnn_gpu_tpu.models import float_model as FM
+    from qcnn_gpu_tpu.quant.solver import BLU_INIT
+    from qcnn_gpu_tpu.train.checkpoint import load_checkpoint
+
+    params_t = FM.init_params(0)
+    opt_t = optax.adam(1e-4).init(params_t)
+    params, _, _ = load_checkpoint(args.ckpt, params_t, opt_t)
+    ori = yuv.read_y(args.ori, args.height, args.width, args.frames)
+    anchor = yuv.read_y(args.anchor, args.height, args.width, args.frames)
+    blu_ub = BLU_INIT[args.qp] if args.blu else None
+    pred = np.asarray(FM.predict_uint8(params, anchor, blu_ub))
+    p_before = yuv.psnr(anchor, ori)
+    p_after = yuv.psnr(pred, ori)
+    append_psnr_record(os.path.join(args.out_dir, "psnr.data"), p_after)
+    append_psnr_record(os.path.join(args.out_dir, "psnr_ori.data"), p_before)
+    print(f"PSNR: before net {p_before:.3f}\tafter net {p_after:.3f}")
+    return 0
+
+
+def cmd_validate(args) -> int:
+    """Cross-implementation validation report (conv_validation + viewmem
+    analogs) on synthetic or provided frames."""
+    from qcnn_gpu_tpu.data import model_files, yuv
+    from qcnn_gpu_tpu.engine import validate as V
+    from qcnn_gpu_tpu.testing import synth_frames
+
+    p = model_files.read_static_qfp_vect_c(args.model) if args.model_format == "vect_c" else model_files.read_static_qfp_hwcn(args.model)
+    if args.anchor:
+        frames = yuv.read_y(args.anchor, args.height, args.width, args.frames)
+    else:
+        frames = synth_frames(1, 64, 96, seed=0)
+    print(V.viewmem_report(p, frames[:1]))
+    if args.dump_features:
+        V.dump_features(p, frames[:1], args.dump_features)
+        print(f"feature maps -> {args.dump_features}")
+    return 0
+
+
+def cmd_calibrate_dynamic(args) -> int:
+    """Run the dynamic-quantization path on device, recording max_u
+    telemetry (the save_steps flow, qvrcnn.cu:70-81,163)."""
+    import numpy as np
+
+    from qcnn_gpu_tpu.data import model_files, yuv
+    from qcnn_gpu_tpu.models.qvrcnn_dynamic import make_dynamic_forward
+
+    p = model_files.read_dynamic_hwcn(args.model)
+    frames = yuv.read_y(args.anchor, args.height, args.width, args.frames)
+    run = make_dynamic_forward(p)
+    maxima = [0, 0, 0]
+    for i in range(frames.shape[0]):
+        _, tel = run(frames[i : i + 1])
+        groups = [
+            int(tel["max_u"][0]),
+            max(int(v) for v in tel["max_u"][1]),
+            max(int(v) for v in tel["max_u"][2]),
+        ]
+        maxima = [max(a, b) for a, b in zip(maxima, groups)]
+        with open(args.out, "ab") as fp:
+            import struct
+
+            fp.write(struct.pack("<i", groups[0]))  # max_u_C1.data format
+    print("per-group max_u:", maxima, "->", args.out)
+    return 0
+
+
 def cmd_bench(args) -> int:
     import bench
 
@@ -169,7 +246,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--model", required=True)
     p.add_argument("--model-format", default="vect_c", choices=["vect_c", "hwcn"])
     p.add_argument("--qp", type=int, required=True)
-    p.add_argument("--impl", default="auto", choices=["auto", "bf16", "int"])
+    p.add_argument("--impl", default="auto", choices=["auto", "bf16", "int", "pallas"])
     p.add_argument("--mesh", default="", help="dpxsp, e.g. 2x4")
     p.add_argument("--recon", default=None)
     p.add_argument("--out-dir", default=".")
@@ -218,6 +295,35 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--model-out", default=None)
     p.add_argument("--model-format", default="vect_c", choices=["vect_c", "hwcn"])
     p.set_defaults(fn=cmd_calibrate)
+
+    p = sub.add_parser("eval-float", help="float-model sequence eval (test() analog)")
+    p.add_argument("--ckpt", required=True)
+    p.add_argument("--ori", required=True)
+    p.add_argument("--anchor", required=True)
+    _add_geometry(p)
+    p.add_argument("--qp", type=int, default=37)
+    p.add_argument("--blu", action="store_true")
+    p.add_argument("--out-dir", default=".")
+    p.set_defaults(fn=cmd_eval_float)
+
+    p = sub.add_parser("validate", help="cross-impl validation report (viewmem analog)")
+    p.add_argument("--model", required=True)
+    p.add_argument("--model-format", default="vect_c", choices=["vect_c", "hwcn"])
+    p.add_argument("--anchor", default=None)
+    p.add_argument("--height", type=int, default=0)
+    p.add_argument("--width", type=int, default=0)
+    p.add_argument("--frames", type=int, default=1)
+    p.add_argument("--dump-features", default=None)
+    p.set_defaults(fn=cmd_validate)
+
+    p = sub.add_parser(
+        "calibrate-dynamic", help="dynamic-path max_u telemetry (save_steps analog)"
+    )
+    p.add_argument("--model", required=True, help="dynamic-format model file")
+    p.add_argument("--anchor", required=True)
+    _add_geometry(p)
+    p.add_argument("--out", default="max_u_C1.data")
+    p.set_defaults(fn=cmd_calibrate_dynamic)
 
     p = sub.add_parser("bench", help="headline benchmark")
     p.set_defaults(fn=cmd_bench)

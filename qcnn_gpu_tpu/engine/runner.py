@@ -73,9 +73,23 @@ class Engine:
                 self._programs[key] = make_sharded_forward(
                     self._models[qp], self.mesh, impl=self.impl
                 )
+            elif self.impl == "pallas":
+                from qcnn_gpu_tpu.ops.pallas_pipeline import build_pallas_forward
+
+                run = build_pallas_forward(self._models[qp])
+                run.impl = "pallas"
+                self._programs[key] = run
             else:
                 self._programs[key] = make_forward(self._models[qp], impl=self.impl)
         return self._programs[key]
+
+    def profile_trace(self, trace_dir: str):
+        """Context manager: capture a jax.profiler device trace of whatever
+        runs inside (the TPU replacement for the reference's
+        QueryPerformanceCounter wall-clock bracketing, kernel.cu:89-101)."""
+        import jax.profiler
+
+        return jax.profiler.trace(trace_dir)
 
     # ---- restoration ----
     def restore(self, frames: np.ndarray, qp: int) -> np.ndarray:

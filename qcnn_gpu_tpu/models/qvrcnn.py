@@ -180,24 +180,31 @@ def residual_blu_merged(
     row_valid: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Merged-stage core: 4 convs, per-channel vector requant. Bit-equal to
-    residual_blu (tested); this is the production path."""
+    residual_blu (tested); this is the production path.
+
+    On the bf16 path, inter-stage activations are CARRIED as bf16 (exact:
+    requant outputs are ints in [0,127]) — materialized int32 intermediates
+    double the HBM traffic of the memory-bound stages."""
     if impl == "bf16":
-        conv = lambda v, i: _conv_bf16(v.astype(jnp.bfloat16), mp.w_bf16[i], mp.b_i32[i])
+        conv = lambda v, i: _conv_bf16(v, mp.w_bf16[i], mp.b_i32[i])
+        act_dtype = jnp.bfloat16
     else:
         conv = lambda v, i: _conv_int(v, mp.w_i8[i], mp.b_i32[i])
+        act_dtype = jnp.int32
 
     if row_valid is None:
         mask = lambda v: v
     else:
         rv = row_valid[None, :, None, None]
-        mask = lambda v: jnp.where(rv, v, 0)
+        mask = lambda v: jnp.where(rv, v, jnp.zeros((), v.dtype))
 
     def requant(u, i):
         mid = jnp.right_shift((u + mp.bias_pre[i]) * mp.mul[i], mp.shift[i])
         v = jnp.where(u > mp.blu_q[i], 127, jnp.where(u < 0, 0, mid))
-        return mask(v)
+        return mask(v.astype(act_dtype))
 
-    v1 = requant(conv(mask(x_ppro), 0), 0)
+    x0 = mask(x_ppro.astype(act_dtype) if impl == "bf16" else x_ppro)
+    v1 = requant(conv(x0, 0), 0)
     v2 = requant(conv(v1, 1), 1)
     v3 = requant(conv(v2, 2), 2)
     u4 = conv(v3, 3)

@@ -168,7 +168,11 @@ def _make_kernel(th: int, we: int):
         #           row t = x window flattened, shifted by tap t's offset.
         #           Lanes = pixels => NO 128-lane padding blowup in HBM
         #           (the [m1, 32] orientation padded 32->128 and OOM'd).
-        mk1_ref, mk2_ref, mk3_ref,  # [1,1, m_s+8, 1] bf16 frame-edge masks
+        mk1_ref,  # [1,1, m1+8, 1] bf16 frame-edge mask at v1's origin.
+        #           v2/v3 masks are OFFSET SLICES of the same vector:
+        #           shifting by d*(we+1) re-bases the origin by d pixels
+        #           diagonally; the row/col misattribution near row ends
+        #           lands only in garbage-tail columns no stage reads.
         w1_ref, w2p_ref, w3p_ref, w4p_ref,
         b1cm_ref, b2_ref, b3_ref, b4_ref,
         q1b_ref, q1m_ref, q1p_ref, q1s_ref,
@@ -195,15 +199,17 @@ def _make_kernel(th: int, we: int):
         v1s[...] = v1 * mk1_ref[0, 0]
 
         # ---- S2 / S3 ----
+        s2_shift = 2 * we + 2  # v2 origin is 2px diagonal from v1's
+        s3_shift = 3 * we + 3
         v2s[...] = _stage(
             v1s, w2p_ref, 25, we, m2, b2_ref[...],
             (q2b_ref[...], q2m_ref[...], q2p_ref[...], q2s_ref[...]),
-            mask=lambda v: v * mk2_ref[0, 0],
+            mask=lambda v: v * mk1_ref[0, 0, s2_shift : s2_shift + m2 + 8, :],
         )
         v3s[...] = _stage(
             v2s, w3p_ref, 9, we, m3, b3_ref[...],
             (q3b_ref[...], q3m_ref[...], q3p_ref[...], q3s_ref[...]),
-            mask=lambda v: v * mk3_ref[0, 0],
+            mask=lambda v: v * mk1_ref[0, 0, s3_shift : s3_shift + m3 + 8, :],
         )
 
         # ---- S4 (linear) ----
@@ -270,10 +276,7 @@ def build_pallas_forward(
         a1t = jnp.stack(taps, axis=3)  # [B, nh, nw, 25, m1]
         a1t = jnp.pad(a1t, ((0, 0), (0, 0), (0, 0), (0, 7), (0, 0)))
 
-        masks = [
-            _edge_masks(nh, nw, th, tw, we, h, w, (th + k) * we + 8, k // 2)
-            for k in (8, 4, 2)
-        ]
+        masks = [_edge_masks(nh, nw, th, tw, we, h, w, m1 + 8, 4)]
         mask_specs = [
             pl.BlockSpec(
                 (1, 1, mk.shape[2], 1),

@@ -1,0 +1,77 @@
+"""Multi-host process-group setup + frame-sharded distributed runs.
+
+The reference has no distributed backend at all (SURVEY.md §2.4 P7); this
+is the TPU-native component that replaces nothing and adds scale-out:
+
+  * `initialize()` wraps jax.distributed.initialize — each host process
+    joins the pod-slice process group over DCN, then sees its local chips;
+  * `global_mesh()` builds the (dp, sp) mesh over ALL devices in the
+    slice; shardings laid out so halo ppermutes ride ICI (neighbor shards
+    on neighboring devices) and DP needs no steady-state collectives;
+  * `DistributedRunner` shards a frame stream across hosts: each process
+    feeds its addressable shard via make_array_from_process_local_data,
+    restoration runs under the global program, PSNR reduces with psum.
+
+Single-process multi-device works with the same code (initialize() is a
+no-op when world_size == 1), which is how the tests exercise it on the
+8-device virtual CPU mesh.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from qcnn_gpu_tpu.models.oracle import EngineParams
+from qcnn_gpu_tpu.parallel.mesh import make_mesh, mesh_shape_for
+from qcnn_gpu_tpu.parallel.spatial import make_sharded_forward, psnr_sharded
+
+
+def initialize(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Join the multi-host process group. No-op for single-process runs;
+    with explicit args (or TPU pod env auto-detection) this must be called
+    before any jax computation on every host."""
+    if num_processes is None or num_processes <= 1:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def global_mesh(frames_hint: Optional[int] = None, rows_hint: Optional[int] = None) -> Mesh:
+    dp, sp = mesh_shape_for(len(jax.devices()), frames_hint, rows_hint)
+    return make_mesh(dp, sp)
+
+
+class DistributedRunner:
+    """Frame-sharded restoration across every process/device in the slice."""
+
+    def __init__(self, params: EngineParams, mesh: Optional[Mesh] = None, impl: str = "auto"):
+        self.mesh = mesh if mesh is not None else global_mesh()
+        self.run = make_sharded_forward(params, self.mesh, impl=impl)
+
+    def _shard(self, frames: np.ndarray):
+        sharding = NamedSharding(self.mesh, P("dp", "sp", None))
+        if jax.process_count() == 1:
+            return jax.device_put(frames, sharding)
+        # each process contributes its local slice of the global batch
+        return jax.make_array_from_process_local_data(sharding, frames)
+
+    def restore(self, frames: np.ndarray) -> np.ndarray:
+        """frames: [N, H, W] uint8 (process-local shard when multi-host).
+        Returns the restored frames gathered to the host."""
+        out = self.run(self._shard(frames))
+        return np.asarray(out)
+
+    def psnr(self, a: np.ndarray, ref: np.ndarray) -> float:
+        """Distributed PSNR over the mesh (psum of per-device SSE)."""
+        return float(psnr_sharded(a, ref, self.mesh))

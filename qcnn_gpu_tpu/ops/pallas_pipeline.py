@@ -119,34 +119,50 @@ def _requant_vec(u_i32, blu_q, mul, bias_pre, shift):
     return jnp.where(u_i32 > blu_q, 127, jnp.where(u_i32 < 0, 0, mid))
 
 
-def _stage(v_ref, w_ref, n_taps, we, m_out, b_i32, qvec, mask=None):
+def _stage(v_ref, w_ref, n_taps, we, m_out, b_i32, qvec, mask=None, unroll=False):
     """One merged conv stage (+ optional integer epilogue).
 
     v_ref: VMEM ref [M_in, Cin] flat; tap (dy,dx) is a MEMORY load at
     sublane offset dy*we + dx (value slices carry layout offsets Mosaic
-    cannot recombine). A fori_loop keeps exactly one tap live — the fully
-    unrolled version blew the VMEM stack and took minutes to compile.
-    w_ref: VMEM ref [n_taps, Cin, Cout].
+    cannot recombine). w_ref: VMEM ref [n_taps, Cin, Cout].
+
+    unroll=False: fori over rows with an aligned dynamic load per dy
+    (dy*we is a lane-width multiple; Mosaic rejects dynamic unaligned
+    offsets) and the k static dx shifts unrolled inside — small code,
+    small stack.
+    unroll=True: one load of the whole buffer, all k*k taps as static
+    value slices — bigger stack (needs the raised vmem limit) but lets
+    Mosaic software-pipeline the dot chain.
     """
     k = int(round(float(n_taps) ** 0.5))
     cout = w_ref.shape[2]
 
-    # Loop rows (dy) dynamically — dy*we is sublane-aligned (we % 8 == 0,
-    # hinted via pl.multiple_of; Mosaic rejects dynamic unaligned loads) —
-    # and unroll the k static dx shifts as value slices of one wide load.
-    def body(dy, acc):
-        base = pl.multiple_of(dy * we, 8)
-        a_dy = v_ref[pl.ds(base, m_out + 8), :]
-        for dx in range(k):
-            wt = w_ref[dy * k + dx]
-            acc = acc + jnp.dot(
-                a_dy[dx : dx + m_out, :], wt, preferred_element_type=jnp.float32
-            )
-        return acc
+    if unroll:
+        base = v_ref[...]
+        acc = jnp.zeros((m_out, cout), dtype=jnp.float32)
+        for dy in range(k):
+            for dx in range(k):
+                off = dy * we + dx
+                acc = acc + jnp.dot(
+                    base[off : off + m_out, :],
+                    w_ref[dy * k + dx],
+                    preferred_element_type=jnp.float32,
+                )
+    else:
 
-    acc = jax.lax.fori_loop(
-        0, k, body, jnp.zeros((m_out, cout), dtype=jnp.float32)
-    )
+        def body(dy, acc):
+            base = pl.multiple_of(dy * we, 8)
+            a_dy = v_ref[pl.ds(base, m_out + 8), :]
+            for dx in range(k):
+                wt = w_ref[dy * k + dx]
+                acc = acc + jnp.dot(
+                    a_dy[dx : dx + m_out, :], wt, preferred_element_type=jnp.float32
+                )
+            return acc
+
+        acc = jax.lax.fori_loop(
+            0, k, body, jnp.zeros((m_out, cout), dtype=jnp.float32)
+        )
     u = acc.astype(jnp.int32) + b_i32
     if qvec is None:
         return u
@@ -157,11 +173,14 @@ def _stage(v_ref, w_ref, n_taps, we, m_out, b_i32, qvec, mask=None):
     return mask(v) if mask is not None else v
 
 
-def _make_kernel(th: int, we: int):
+def _make_kernel(th: int, we: int, mul4: int, shift4: int):
     m1 = (th + 8) * we
     m2 = (th + 4) * we
     m3 = (th + 2) * we
     m4 = th * we
+    # u4*mul4 must stay in int32: |u4| < 2^24 by the exactness certificate,
+    # so mul4 <= 127 suffices (shipped tables: mul4 in {1,5,7,13})
+    assert mul4 <= 127, f"final mul {mul4} too large for int32 requant"
 
     def kernel(
         a1t_ref,  # [1,1,1, 32, m1] bf16 — transposed S1 im2col from XLA:
@@ -212,9 +231,12 @@ def _make_kernel(th: int, we: int):
             mask=lambda v: v * mk1_ref[0, 0, s3_shift : s3_shift + m3 + 8, :],
         )
 
-        # ---- S4 (linear) ----
+        # ---- S4 (linear) + final residual requant (cnn.cu:507-523) ----
         u4 = _stage(v3s, w4p_ref, 9, we, m4, b4_ref[...], None)
-        out_ref[0, 0, 0] = u4[:, 0:1]  # [m4, 1]
+        res = jnp.right_shift(u4[:, 0:1] * mul4 + (1 << (shift4 - 1)), shift4)
+        # clamp to [-255, 255] => int16 output (halves the out-block VMEM);
+        # clip(x + clip(res,-255,255), 0, 255) == clip(x + res, 0, 255)
+        out_ref[0, 0, 0] = jnp.clip(res, -255, 255).astype(jnp.int16)
 
     return kernel
 
@@ -286,10 +308,13 @@ def build_pallas_forward(
             for mk in masks
         ]
 
-        kernel = _make_kernel(th, we)
+        kernel = _make_kernel(th, we, pw.mul4, pw.shift4)
         out = pl.pallas_call(
             kernel,
             grid=(b, nh, nw),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
             in_specs=[
                 pl.BlockSpec(
                     (1, 1, 1, 32, m1),
@@ -304,7 +329,7 @@ def build_pallas_forward(
                 lambda bi, hi, wi: (bi, hi, wi, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            out_shape=jax.ShapeDtypeStruct((b, nh, nw, m4, 1), jnp.int32),
+            out_shape=jax.ShapeDtypeStruct((b, nh, nw, m4, 1), jnp.int16),
             scratch_shapes=[
                 pltpu.VMEM((m1 + 8, 64), jnp.bfloat16),
                 pltpu.VMEM(((th + 4) * we + 8, 48), jnp.bfloat16),
@@ -313,12 +338,10 @@ def build_pallas_forward(
             interpret=interpret,
         )(a1t, *masks, *consts)
 
-        u4 = out.reshape(b, nh, nw, th, we)[..., :tw]
-        u4 = u4.transpose(0, 1, 3, 2, 4).reshape(b, hp, wp)[:, :h, :w]
-        res = jnp.right_shift(
-            u4 * jnp.int32(pw.mul4) + jnp.int32(1 << (pw.shift4 - 1)), pw.shift4
-        )
-        return jnp.clip(x_uint8.astype(jnp.int32) + res, 0, 255).astype(jnp.uint8)
+        res = out.reshape(b, nh, nw, th, we)[..., :tw]
+        res = res.transpose(0, 1, 3, 2, 4).reshape(b, hp, wp)[:, :h, :w]
+        rec = x_uint8.astype(jnp.int32) + res.astype(jnp.int32)
+        return jnp.clip(rec, 0, 255).astype(jnp.uint8)
 
     run.geometry = (th, we, tw)
     run.packed = pw

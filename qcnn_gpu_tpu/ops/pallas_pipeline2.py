@@ -1,0 +1,272 @@
+"""Frame-pair-packed fused Pallas pipeline (v2) — fill the MXU's padding
+with a second frame's work.
+
+QVRCNN is channel-poor: K<=64, N<=48 on a 128x128 MXU, so v1's per-tile
+matmuls waste 63-81% of the array, and the 128-lane VPU epilogues waste
+the same on padding. v2 packs TWO FRAMES along the channel axis with
+block-diagonal weights:
+
+    stage 2:  [px, 2*64=128] @ blockdiag(w, w) [128, 2*48=96]
+    stage 3:  [px, 96]       @ blockdiag(w, w) [96, 96]
+    stage 4:  [px, 96]       @ blockdiag(w, w) [96, 2]
+
+Every MXU pass and every VPU epilogue op now computes BOTH frames — the
+lanes that were zero padding carry the second frame. Per-frame cost of the
+dominant stages halves; nothing about the integer semantics changes (the
+block-diagonal structure keeps the frames exactly independent, and the
+per-channel requant vectors are just tiled x2).
+
+Shares _stage/_edge_masks/_window/_requant_vec and all the Mosaic layout
+lessons with ops/pallas_pipeline.py (v1, the single-frame variant).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from qcnn_gpu_tpu.models.oracle import EngineParams
+from qcnn_gpu_tpu.models.qvrcnn import MergedParams
+from qcnn_gpu_tpu.ops.pallas_pipeline import (
+    HALO,
+    PAD,
+    _edge_masks,
+    _flat_taps,
+    _requant_vec,
+    _stage,
+    _window,
+)
+
+
+def _blockdiag_taps(w: np.ndarray, k: int, pad_cout: int = 0) -> np.ndarray:
+    """[k,k,Cin,Cout] -> [k*k, 2*Cin, 2*Cout(+pad)] block-diagonal."""
+    taps = _flat_taps(w, k)  # [T, Cin, Cout]
+    t, cin, cout = taps.shape
+    out = np.zeros((t, 2 * cin, 2 * cout + pad_cout), dtype=taps.dtype)
+    out[:, :cin, :cout] = taps
+    out[:, cin:, cout : 2 * cout] = taps
+    return out
+
+
+@dataclasses.dataclass(frozen=True)
+class PackedWeights2:
+    w1: jnp.ndarray  # [64, 32] bf16 (shared by both frames)
+    w2b: jnp.ndarray  # [25, 128, 96] bf16
+    w3b: jnp.ndarray  # [9, 96, 96] bf16
+    w4b: jnp.ndarray  # [9, 96, 8] bf16 (cols 0/1 = frame residuals)
+    b1cm: jnp.ndarray  # [64, 1] i32
+    q1cm: Tuple[jnp.ndarray, ...]
+    b2: jnp.ndarray  # [1, 96] i32 (tiled x2)
+    b3: jnp.ndarray
+    b4: jnp.ndarray  # [1, 8]
+    q2: Tuple[jnp.ndarray, ...]  # [1, 96] each
+    q3: Tuple[jnp.ndarray, ...]
+    mul4: int
+    shift4: int
+
+    @classmethod
+    def from_engine(cls, p: EngineParams) -> "PackedWeights2":
+        mp = MergedParams.from_engine(p)
+        w = [np.asarray(x, dtype=np.float32) for x in mp.w_i8]
+
+        w1 = w[0][..., 0, :].reshape(25, 64)
+        w1 = np.pad(w1, ((0, 7), (0, 0))).T  # [64, 32]
+
+        def tile2(v):
+            return jnp.asarray(np.tile(np.asarray(v), 2)[None, :], dtype=jnp.int32)
+
+        def q2x(i):
+            return tuple(
+                tile2(v)
+                for v in (mp.blu_q[i], mp.mul[i], mp.bias_pre[i], mp.shift[i])
+            )
+
+        q1cm = tuple(
+            jnp.asarray(np.asarray(v)[:, None], dtype=jnp.int32)
+            for v in (mp.blu_q[0], mp.mul[0], mp.bias_pre[0], mp.shift[0])
+        )
+        b = [np.asarray(x, dtype=np.int32) for x in mp.b_i32]
+        b4_2 = np.zeros(8, np.int32)
+        b4_2[0] = b4_2[1] = b[3][0]
+        return cls(
+            w1=jnp.asarray(w1, dtype=jnp.bfloat16),
+            w2b=jnp.asarray(_blockdiag_taps(w[1], 5), dtype=jnp.bfloat16),
+            w3b=jnp.asarray(_blockdiag_taps(w[2], 3), dtype=jnp.bfloat16),
+            w4b=jnp.asarray(_blockdiag_taps(w[3], 3, pad_cout=6), dtype=jnp.bfloat16),
+            b1cm=jnp.asarray(b[0][:, None], dtype=jnp.int32),
+            q1cm=q1cm,
+            b2=tile2(b[1]),
+            b3=tile2(b[2]),
+            b4=jnp.asarray(b4_2[None, :], dtype=jnp.int32),
+            q2=q2x(1),
+            q3=q2x(2),
+            mul4=mp.mul4,
+            shift4=mp.shift4,
+        )
+
+    def consts(self):
+        return [
+            self.w1, self.w2b, self.w3b, self.w4b,
+            self.b1cm, self.b2, self.b3, self.b4,
+            *self.q1cm, *self.q2, *self.q3,
+        ]
+
+
+def _make_kernel2(th: int, we: int, mul4: int, shift4: int, unroll: bool = False):
+    m1 = (th + 8) * we
+    m2 = (th + 4) * we
+    m3 = (th + 2) * we
+    m4 = th * we
+    assert mul4 <= 127, f"final mul {mul4} too large for int32 requant"
+
+    def kernel(
+        a1t_ref,  # [1,1,1, 64, m1]: rows 0:32 frame A taps, 32:64 frame B
+        mk1_ref,  # [1,1, m1+8, 1] shared frame-edge mask (spatial only)
+        w1_ref, w2b_ref, w3b_ref, w4b_ref,
+        b1cm_ref, b2_ref, b3_ref, b4_ref,
+        q1b_ref, q1m_ref, q1p_ref, q1s_ref,
+        q2b_ref, q2m_ref, q2p_ref, q2s_ref,
+        q3b_ref, q3m_ref, q3p_ref, q3s_ref,
+        out_ref,  # [1,1,1, m4, 2] i16 residuals, col per frame
+        v1s, v2s, v3s,
+    ):
+        # ---- S1 per frame (channel-major), then pack [px, 128] ----
+        def s1(rows):
+            u = jnp.dot(
+                w1_ref[...], a1t_ref[0, 0, 0, rows[0] : rows[1], :],
+                preferred_element_type=jnp.float32,
+            )
+            v = _requant_vec(
+                u.astype(jnp.int32) + b1cm_ref[...],
+                q1b_ref[...], q1m_ref[...], q1p_ref[...], q1s_ref[...],
+            )
+            return jnp.transpose(v.astype(jnp.bfloat16))  # [m1, 64]
+
+        v1 = jnp.concatenate([s1((0, 32)), s1((32, 64))], axis=1)  # [m1, 128]
+        v1 = jnp.pad(v1, ((0, 8), (0, 0)))
+        v1s[...] = v1 * mk1_ref[0, 0]
+
+        # ---- S2 / S3 (both frames per op) ----
+        s2_shift = 2 * we + 2
+        s3_shift = 3 * we + 3
+        v2s[...] = _stage(
+            v1s, w2b_ref, 25, we, m2, b2_ref[...],
+            (q2b_ref[...], q2m_ref[...], q2p_ref[...], q2s_ref[...]),
+            mask=lambda v: v * mk1_ref[0, 0, s2_shift : s2_shift + m2 + 8, :],
+            unroll=unroll,
+        )
+        v3s[...] = _stage(
+            v2s, w3b_ref, 9, we, m3, b3_ref[...],
+            (q3b_ref[...], q3m_ref[...], q3p_ref[...], q3s_ref[...]),
+            mask=lambda v: v * mk1_ref[0, 0, s3_shift : s3_shift + m3 + 8, :],
+            unroll=unroll,
+        )
+
+        # ---- S4 + final residual requant, both frames ----
+        u4 = _stage(v3s, w4b_ref, 9, we, m4, b4_ref[...], None, unroll=unroll)  # [m4, 8]
+        res = jnp.right_shift(u4[:, 0:2] * mul4 + (1 << (shift4 - 1)), shift4)
+        out_ref[0, 0, 0] = jnp.clip(res, -255, 255).astype(jnp.int16)
+
+    return kernel
+
+
+def build_pallas_forward2(
+    p: EngineParams, th: int = 48, we: int = 256, interpret: bool = False,
+    unroll: bool = True,
+):
+    """Frame-pair-packed fused restorer: fn(uint8 [B,H,W]) -> uint8 [B,H,W].
+    Odd batches are padded with a zero frame internally."""
+    pw = PackedWeights2.from_engine(p)
+    tw = we - PAD
+    he = th + PAD
+    m4 = th * we
+    consts = pw.consts()
+
+    @jax.jit
+    def run(x_uint8):
+        b0, h, w = x_uint8.shape
+        b = b0 + (b0 % 2)
+        if b != b0:
+            x_uint8 = jnp.pad(x_uint8, ((0, 1), (0, 0), (0, 0)))
+        b2 = b // 2
+        nh = -(-h // th)
+        nw = -(-w // tw)
+        hp, wp = nh * th, nw * tw
+        x = x_uint8.astype(jnp.int32) - 128
+        xp = jnp.pad(x, ((0, 0), (HALO, HALO + hp - h), (HALO, HALO + wp - w)))
+        xw = _window(xp, th, tw, he, we, nh, nw)
+
+        m1 = (th + 8) * we
+        flat = jnp.pad(
+            xw.reshape(b, nh, nw, he * we).astype(jnp.bfloat16),
+            ((0, 0), (0, 0), (0, 0), (0, 8)),
+        )
+        taps = [
+            flat[..., dy * we + dx : dy * we + dx + m1]
+            for dy in range(5)
+            for dx in range(5)
+        ]
+        a1t = jnp.stack(taps, axis=3)  # [B, nh, nw, 25, m1]
+        a1t = jnp.pad(a1t, ((0, 0), (0, 0), (0, 0), (0, 7), (0, 0)))
+        # pack frame pairs along the tap axis: [B2, nh, nw, 64, m1]
+        a1t = (
+            a1t.reshape(b2, 2, nh, nw, 32, m1)
+            .transpose(0, 2, 3, 1, 4, 5)
+            .reshape(b2, nh, nw, 64, m1)
+        )
+
+        masks = [_edge_masks(nh, nw, th, tw, we, h, w, m1 + 8, 4)]
+        mask_specs = [
+            pl.BlockSpec(
+                (1, 1, mk.shape[2], 1),
+                lambda bi, hi, wi: (hi, wi, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+            for mk in masks
+        ]
+
+        kernel = _make_kernel2(th, we, pw.mul4, pw.shift4, unroll)
+        out = pl.pallas_call(
+            kernel,
+            grid=(b2, nh, nw),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, 1, 1, 64, m1),
+                    lambda bi, hi, wi: (bi, hi, wi, 0, 0),
+                    memory_space=pltpu.VMEM,
+                )
+            ]
+            + mask_specs
+            + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in consts],
+            out_specs=pl.BlockSpec(
+                (1, 1, 1, m4, 2),
+                lambda bi, hi, wi: (bi, hi, wi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct((b2, nh, nw, m4, 2), jnp.int16),
+            scratch_shapes=[
+                pltpu.VMEM((m1 + 8, 128), jnp.bfloat16),
+                pltpu.VMEM(((th + 4) * we + 8, 96), jnp.bfloat16),
+                pltpu.VMEM(((th + 2) * we + 8, 96), jnp.bfloat16),
+            ],
+            interpret=interpret,
+        )(a1t, *masks, *consts)
+
+        # unpack: [B2, nh, nw, m4, 2] -> [B, nh, nw, th, we] -> frames
+        res = out.transpose(0, 4, 1, 2, 3).reshape(b, nh, nw, th, we)[..., :tw]
+        res = res.transpose(0, 1, 3, 2, 4).reshape(b, hp, wp)[:, :h, :w]
+        rec = x_uint8.astype(jnp.int32) + res.astype(jnp.int32)
+        return jnp.clip(rec, 0, 255).astype(jnp.uint8)[:b0]
+
+    run.geometry = (th, we, tw)
+    run.packed = pw
+    return run

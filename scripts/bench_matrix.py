@@ -1,0 +1,86 @@
+"""Multi-resolution, multi-implementation benchmark matrix.
+
+Covers the reference's six benchmarked geometries (BASELINE.md, from
+inference/log.txt) across the engine's implementations, writing a JSON
+report. The headline single-line bench stays in bench.py; this is the
+deep record for optimization work.
+
+    python scripts/bench_matrix.py [out.json]
+"""
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np  # noqa: E402
+
+
+# (H, W, reference best-observed ms from log.txt)
+GEOMETRIES = [
+    (240, 416, 12.0),
+    (480, 832, 11.9),
+    (720, 1280, 20.3),
+    (1080, 1920, 42.4),
+    (1600, 2560, 72.7),
+    (2160, 3840, 155.7),
+]
+
+
+def main(out_path="bench_matrix.json"):
+    import jax
+
+    from qcnn_gpu_tpu.models.qvrcnn import make_forward
+    from qcnn_gpu_tpu.ops.pallas_pipeline2 import build_pallas_forward2
+    from qcnn_gpu_tpu.testing import synth_engine_params, synth_frames
+
+    p = synth_engine_params(37)
+    report = {"backend": jax.default_backend(), "device_ms_per_frame": {}}
+
+    builders = {
+        "xla": lambda: make_forward(p, impl="auto"),
+        "pallas2": lambda: build_pallas_forward2(p),
+    }
+
+    for name, mk in builders.items():
+        try:
+            run = mk()
+        except Exception as e:  # noqa: BLE001
+            report["device_ms_per_frame"][name] = {"error": str(e)[:200]}
+            continue
+        rows = {}
+        for h, w, ref_ms in GEOMETRIES:
+            batch = max(2, min(8, (1 << 21) // (h * w // 512)))
+            batch += batch % 2
+            try:
+                x = jax.device_put(synth_frames(batch, h, w, seed=1))
+                o = run(x)
+                jax.block_until_ready(o)
+                n = 8
+                t0 = time.perf_counter()
+                for _ in range(n):
+                    o = run(x)
+                jax.block_until_ready(o)
+                ms = (time.perf_counter() - t0) / (n * batch) * 1000
+                rows[f"{w}x{h}"] = {
+                    "ms_per_frame": round(ms, 3),
+                    "fps": round(1000 / ms, 1),
+                    "ref_best_ms": ref_ms,
+                    "speedup_vs_ref": round(ref_ms / ms, 2),
+                    "batch": batch,
+                }
+                print(f"{name} {w}x{h}: {ms:.2f} ms/frame ({1000/ms:.0f} fps, "
+                      f"{ref_ms/ms:.1f}x ref)", flush=True)
+            except Exception as e:  # noqa: BLE001
+                rows[f"{w}x{h}"] = {"error": str(e)[:200]}
+                print(f"{name} {w}x{h}: FAIL {str(e)[:120]}", flush=True)
+        report["device_ms_per_frame"][name] = rows
+
+    with open(out_path, "w") as fp:
+        json.dump(report, fp, indent=2)
+    print(f"-> {out_path}")
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:])

@@ -44,3 +44,27 @@ def test_pallas_batch():
     run = build_pallas_forward(p, interpret=True)
     x = synth_frames(3, 24, 250, seed=9)
     assert (np.asarray(run(x)) == O.forward_blu(x, p)).all()
+
+
+@pytest.mark.parametrize("qp", [22, 37])
+def test_pallas2_framepair_bit_exact(qp):
+    from qcnn_gpu_tpu.ops.pallas_pipeline2 import build_pallas_forward2
+
+    p = synth_engine_params(qp)
+    run = build_pallas_forward2(p, th=8, interpret=True)
+    x = synth_frames(2, 40, 300, seed=qp)
+    got = np.asarray(run(x))
+    want = O.forward_blu(x, p)
+    assert (got == want).all(), f"{np.sum(got != want)} mismatches"
+
+
+def test_pallas2_odd_batch_and_geometry():
+    from qcnn_gpu_tpu.ops.pallas_pipeline2 import build_pallas_forward2
+
+    p = synth_engine_params(27)
+    run = build_pallas_forward2(p, th=8, interpret=True)
+    for n, h, w, s in ((1, 37, 53, 1), (3, 18, 250, 2)):
+        x = synth_frames(n, h, w, seed=s)
+        got = np.asarray(run(x))
+        want = O.forward_blu(x, p)
+        assert (got == want).all(), (n, h, w, np.sum(got != want))

@@ -144,6 +144,49 @@ def cmd_calibrate(args) -> int:
     return 0
 
 
+def cmd_finetune(args) -> int:
+    """Shadow-weight quantization-aware fine-tune (model.py:170-233):
+    load a float checkpoint + its per-QP table, fine-tune on the int8
+    grid, save the grid checkpoint + optionally the engine model file."""
+    import jax
+    import numpy as np
+    import optax
+
+    from qcnn_gpu_tpu.data.datasets import PatchDataset, PrefetchLoader
+    from qcnn_gpu_tpu.data.model_files import write_static_qfp_vect_c
+    from qcnn_gpu_tpu.engine.calibrate import quantize_model
+    from qcnn_gpu_tpu.models import float_model as FM
+    from qcnn_gpu_tpu.parallel.mesh import make_mesh
+    from qcnn_gpu_tpu.quant.params import QuantTable
+    from qcnn_gpu_tpu.quant.solver import BLU_INIT
+    from qcnn_gpu_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+    from qcnn_gpu_tpu.train.finetune import quant_finetune
+
+    params_t = FM.init_params(0)
+    opt_t = optax.adam(args.lr).init(params_t)
+    params, _, step0 = load_checkpoint(args.ckpt, params_t, opt_t)
+    table = QuantTable.load_pickle(args.table)
+    ds = PatchDataset.from_yuv(
+        [(args.ori, args.anchor, args.height, args.width)],
+        frames=args.frames, seed=0,
+    )
+    mesh = make_mesh(len(jax.devices()), 1)
+    steps = args.steps or ds.pieces // args.batch_size
+    out = quant_finetune(
+        params, table.stepw, mesh,
+        PrefetchLoader(ds.batches(args.batch_size, steps)),
+        blu_ub=BLU_INIT[args.qp], lr=args.lr,
+    )
+    save_checkpoint(args.ckpt + "_qfp", out, opt_t, step0 + steps)
+    if args.model_out:
+        ws, bs = FM.params_to_lists(out)
+        ep = quantize_model(out, table)
+        write_static_qfp_vect_c(args.model_out, ep)
+    print(f"finetuned {steps} steps -> {args.ckpt}_qfp"
+          + (f", model -> {args.model_out}" if args.model_out else ""))
+    return 0
+
+
 def cmd_eval_float(args) -> int:
     """Float-model evaluation over a sequence — the test() analog
     (model.py:257-297): per-sequence PSNR before/after, binary psnr.data +
@@ -295,6 +338,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--model-out", default=None)
     p.add_argument("--model-format", default="vect_c", choices=["vect_c", "hwcn"])
     p.set_defaults(fn=cmd_calibrate)
+
+    p = sub.add_parser("finetune", help="shadow-weight quant-aware fine-tune")
+    p.add_argument("--ckpt", required=True)
+    p.add_argument("--table", required=True, help="quant_params pickle")
+    p.add_argument("--ori", required=True)
+    p.add_argument("--anchor", required=True)
+    _add_geometry(p)
+    p.add_argument("--qp", type=int, default=37)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--steps", type=int, default=0)
+    p.add_argument("--model-out", default=None)
+    p.set_defaults(fn=cmd_finetune)
 
     p = sub.add_parser("eval-float", help="float-model sequence eval (test() analog)")
     p.add_argument("--ckpt", required=True)

@@ -107,6 +107,39 @@ def predict_uint8(params: Params, x_uint8: jnp.ndarray, blu_ub=None) -> jnp.ndar
     return jnp.clip(jnp.round(raw), 0.0, 255.0).astype(jnp.uint8)
 
 
+def predict_uint8_tiled(
+    params: Params,
+    x_uint8: jnp.ndarray,
+    blu_ub=None,
+    tile: int = 768,
+    pad: int = 10,
+) -> jnp.ndarray:
+    """Tiled float restoration for frames too large for one pass — the
+    divided_run analog (model.py:235-255): overlapping tiles with a
+    `pad`-pixel halo (>= the receptive radius 6; the reference used 10),
+    halo cropped at stitch time. Because pad exceeds the receptive radius,
+    every kept pixel's receptive field lies inside its tile, so the output
+    equals predict_uint8 exactly, everywhere."""
+    import numpy as np
+
+    x = np.asarray(x_uint8)
+    n, h, w = x.shape
+    out = np.empty_like(x)
+    for y0 in range(0, h, tile):
+        for x0 in range(0, w, tile):
+            y1 = min(y0 + tile, h)
+            x1 = min(x0 + tile, w)
+            ys = max(0, y0 - pad)
+            xs = max(0, x0 - pad)
+            ye = min(h, y1 + pad)
+            xe = min(w, x1 + pad)
+            sub = x[:, ys:ye, xs:xe]
+            pred = np.asarray(predict_uint8(params, jnp.asarray(sub), blu_ub))
+            out[:, y0:y1, x0:x1] = pred[:, y0 - ys : y0 - ys + (y1 - y0),
+                                        x0 - xs : x0 - xs + (x1 - x0)]
+    return out
+
+
 def l2_loss(params: Params, images: jnp.ndarray, labels: jnp.ndarray, blu_ub=None):
     """0.5 * sum((labels_norm - pred)^2), the tf.nn.l2_loss objective
     (model.py:59). images/labels: [N, H, W, 1] raw-valued float."""

@@ -137,16 +137,18 @@ def _stage(v_ref, w_ref, n_taps, we, m_out, b_i32, qvec, mask=None, unroll=False
     k = int(round(float(n_taps) ** 0.5))
     cout = w_ref.shape[2]
 
+    acc_dtype = jnp.int32 if v_ref.dtype == jnp.int8 else jnp.float32
+
     if unroll:
         base = v_ref[...]
-        acc = jnp.zeros((m_out, cout), dtype=jnp.float32)
+        acc = jnp.zeros((m_out, cout), dtype=acc_dtype)
         for dy in range(k):
             for dx in range(k):
                 off = dy * we + dx
                 acc = acc + jnp.dot(
                     base[off : off + m_out, :],
                     w_ref[dy * k + dx],
-                    preferred_element_type=jnp.float32,
+                    preferred_element_type=acc_dtype,
                 )
     else:
 
@@ -156,17 +158,17 @@ def _stage(v_ref, w_ref, n_taps, we, m_out, b_i32, qvec, mask=None, unroll=False
             for dx in range(k):
                 wt = w_ref[dy * k + dx]
                 acc = acc + jnp.dot(
-                    a_dy[dx : dx + m_out, :], wt, preferred_element_type=jnp.float32
+                    a_dy[dx : dx + m_out, :], wt, preferred_element_type=acc_dtype
                 )
             return acc
 
         acc = jax.lax.fori_loop(
-            0, k, body, jnp.zeros((m_out, cout), dtype=jnp.float32)
+            0, k, body, jnp.zeros((m_out, cout), dtype=acc_dtype)
         )
-    u = acc.astype(jnp.int32) + b_i32
+    u = acc.astype(jnp.int32) + b_i32 if acc_dtype != jnp.int32 else acc + b_i32
     if qvec is None:
         return u
-    v = _requant_vec(u, *qvec).astype(jnp.bfloat16)
+    v = _requant_vec(u, *qvec).astype(v_ref.dtype)
     # zero tail: the next stage's flat tap slices over-run by up to k-1
     # elements (row-crossing of the last row's garbage columns)
     v = jnp.pad(v, ((0, 8), (0, 0)))

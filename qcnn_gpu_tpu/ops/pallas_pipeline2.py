@@ -71,7 +71,10 @@ class PackedWeights2:
     shift4: int
 
     @classmethod
-    def from_engine(cls, p: EngineParams) -> "PackedWeights2":
+    def from_engine(cls, p: EngineParams, dtype=None) -> "PackedWeights2":
+        import jax.numpy as _jnp
+
+        dtype = dtype if dtype is not None else _jnp.int8
         mp = MergedParams.from_engine(p)
         w = [np.asarray(x, dtype=np.float32) for x in mp.w_i8]
 
@@ -95,10 +98,10 @@ class PackedWeights2:
         b4_2 = np.zeros(8, np.int32)
         b4_2[0] = b4_2[1] = b[3][0]
         return cls(
-            w1=jnp.asarray(w1, dtype=jnp.bfloat16),
-            w2b=jnp.asarray(_blockdiag_taps(w[1], 5), dtype=jnp.bfloat16),
-            w3b=jnp.asarray(_blockdiag_taps(w[2], 3), dtype=jnp.bfloat16),
-            w4b=jnp.asarray(_blockdiag_taps(w[3], 3, pad_cout=6), dtype=jnp.bfloat16),
+            w1=jnp.asarray(w1, dtype=dtype),
+            w2b=jnp.asarray(_blockdiag_taps(w[1], 5), dtype=dtype),
+            w3b=jnp.asarray(_blockdiag_taps(w[2], 3), dtype=dtype),
+            w4b=jnp.asarray(_blockdiag_taps(w[3], 3, pad_cout=6), dtype=dtype),
             b1cm=jnp.asarray(b[0][:, None], dtype=jnp.int32),
             q1cm=q1cm,
             b2=tile2(b[1]),
@@ -116,6 +119,14 @@ class PackedWeights2:
             self.b1cm, self.b2, self.b3, self.b4,
             *self.q1cm, *self.q2, *self.q3,
         ]
+
+
+def _apply_mask(v, mk):
+    """Zero invalid pixels. int8 vector multiply is not legal in Mosaic
+    (arith.muli on i8), so select on the mask instead."""
+    if v.dtype == jnp.int8:
+        return jnp.where(mk != 0, v, jnp.zeros((), jnp.int8))
+    return v * mk
 
 
 def _make_kernel2(th: int, we: int, mul4: int, shift4: int, unroll: bool = False):
@@ -137,20 +148,23 @@ def _make_kernel2(th: int, we: int, mul4: int, shift4: int, unroll: bool = False
         v1s, v2s, v3s,
     ):
         # ---- S1 per frame (channel-major), then pack [px, 128] ----
+        act_dtype = w1_ref.dtype
+        acc1 = jnp.int32 if act_dtype == jnp.int8 else jnp.float32
+
         def s1(rows):
             u = jnp.dot(
                 w1_ref[...], a1t_ref[0, 0, 0, rows[0] : rows[1], :],
-                preferred_element_type=jnp.float32,
+                preferred_element_type=acc1,
             )
             v = _requant_vec(
                 u.astype(jnp.int32) + b1cm_ref[...],
                 q1b_ref[...], q1m_ref[...], q1p_ref[...], q1s_ref[...],
             )
-            return jnp.transpose(v.astype(jnp.bfloat16))  # [m1, 64]
+            return jnp.transpose(v.astype(act_dtype))  # [m1, 64]
 
         v1 = jnp.concatenate([s1((0, 32)), s1((32, 64))], axis=1)  # [m1, 128]
         v1 = jnp.pad(v1, ((0, 8), (0, 0)))
-        v1s[...] = v1 * mk1_ref[0, 0]
+        v1s[...] = _apply_mask(v1, mk1_ref[0, 0])
 
         # ---- S2 / S3 (both frames per op) ----
         s2_shift = 2 * we + 2
@@ -158,13 +172,13 @@ def _make_kernel2(th: int, we: int, mul4: int, shift4: int, unroll: bool = False
         v2s[...] = _stage(
             v1s, w2b_ref, 25, we, m2, b2_ref[...],
             (q2b_ref[...], q2m_ref[...], q2p_ref[...], q2s_ref[...]),
-            mask=lambda v: v * mk1_ref[0, 0, s2_shift : s2_shift + m2 + 8, :],
+            mask=lambda v: _apply_mask(v, mk1_ref[0, 0, s2_shift : s2_shift + m2 + 8, :]),
             unroll=unroll,
         )
         v3s[...] = _stage(
             v2s, w3b_ref, 9, we, m3, b3_ref[...],
             (q3b_ref[...], q3m_ref[...], q3p_ref[...], q3s_ref[...]),
-            mask=lambda v: v * mk1_ref[0, 0, s3_shift : s3_shift + m3 + 8, :],
+            mask=lambda v: _apply_mask(v, mk1_ref[0, 0, s3_shift : s3_shift + m3 + 8, :]),
             unroll=unroll,
         )
 
@@ -178,11 +192,15 @@ def _make_kernel2(th: int, we: int, mul4: int, shift4: int, unroll: bool = False
 
 def build_pallas_forward2(
     p: EngineParams, th: int = 48, we: int = 256, interpret: bool = False,
-    unroll: bool = True,
+    unroll: bool = True, dtype=None,
 ):
     """Frame-pair-packed fused restorer: fn(uint8 [B,H,W]) -> uint8 [B,H,W].
-    Odd batches are padded with a zero frame internally."""
-    pw = PackedWeights2.from_engine(p)
+    Odd batches are padded with a zero frame internally. dtype (default
+    int8) sets the activation/weight storage + MXU operand type: int8
+    halves VMEM copy traffic vs bf16 and accumulates natively in int32;
+    both are exact (certificate)."""
+    dtype = dtype if dtype is not None else jnp.int8
+    pw = PackedWeights2.from_engine(p, dtype=dtype)
     tw = we - PAD
     he = th + PAD
     m4 = th * we
@@ -204,7 +222,7 @@ def build_pallas_forward2(
 
         m1 = (th + 8) * we
         flat = jnp.pad(
-            xw.reshape(b, nh, nw, he * we).astype(jnp.bfloat16),
+            xw.reshape(b, nh, nw, he * we).astype(dtype),
             ((0, 0), (0, 0), (0, 0), (0, 8)),
         )
         taps = [
@@ -221,7 +239,7 @@ def build_pallas_forward2(
             .reshape(b2, nh, nw, 64, m1)
         )
 
-        masks = [_edge_masks(nh, nw, th, tw, we, h, w, m1 + 8, 4)]
+        masks = [_edge_masks(nh, nw, th, tw, we, h, w, m1 + 8, 4).astype(dtype)]
         mask_specs = [
             pl.BlockSpec(
                 (1, 1, mk.shape[2], 1),
@@ -254,9 +272,9 @@ def build_pallas_forward2(
             ),
             out_shape=jax.ShapeDtypeStruct((b2, nh, nw, m4, 2), jnp.int16),
             scratch_shapes=[
-                pltpu.VMEM((m1 + 8, 128), jnp.bfloat16),
-                pltpu.VMEM(((th + 4) * we + 8, 96), jnp.bfloat16),
-                pltpu.VMEM(((th + 2) * we + 8, 96), jnp.bfloat16),
+                pltpu.VMEM((m1 + 8, 128), dtype),
+                pltpu.VMEM(((th + 4) * we + 8, 96), dtype),
+                pltpu.VMEM(((th + 2) * we + 8, 96), dtype),
             ],
             interpret=interpret,
         )(a1t, *masks, *consts)

@@ -153,19 +153,55 @@ class Trainer:
         self.opt_state = opt_init(self.params)
         self.global_step = 0
 
-    def fit_batches(self, batches, log_fn=print):
+    def fit_batches(self, batches, log_fn=print, metrics_path: Optional[str] = None):
         """batches: iterable of (images, labels) float32 [N, H, W, 1] raw-
         valued arrays (labels = originals, images = codec anchors — note
         the reference feeds batch[1] as images, batch[0] as labels,
-        model.py:140)."""
+        model.py:140).
+
+        metrics_path: optional JSONL sink for per-log-step scalars (loss +
+        batch PSNR) — the structured replacement for the reference's
+        TensorBoard summaries (model.py:61-69, 116-117, 144-145)."""
+        import json
+        import math
+        import time as _time
+
         loss = None
+        last_batch = None
         for images, labels in batches:
             self.params, self.opt_state, loss = self.step_fn(
                 self.params, self.opt_state, images, labels
             )
             self.global_step += 1
+            last_batch = (images, labels)
             if self.cfg.log_every and self.global_step % self.cfg.log_every == 0:
-                log_fn(f"step {self.global_step}: loss {float(loss):.6f}")
+                # batch PSNR in the raw-pixel domain (the summary scalar
+                # PSNR of model.py:63-66)
+                from qcnn_gpu_tpu.models import float_model as FM
+
+                pred = FM.residual_float(self.params, (images - 128.0) / 255.0, self.blu_ub)
+                pred = pred + (images - 128.0) / 255.0
+                import numpy as np
+
+                mse = float(np.mean((np.asarray(pred) * 255.0 + 128.0 - labels) ** 2))
+                psnr = 10.0 * math.log10(255.0**2 / mse) if mse > 0 else float("inf")
+                log_fn(
+                    f"step {self.global_step}: loss {float(loss):.6f} "
+                    f"batch-PSNR {psnr:.2f} dB"
+                )
+                if metrics_path:
+                    with open(metrics_path, "a") as fp:
+                        fp.write(
+                            json.dumps(
+                                {
+                                    "step": self.global_step,
+                                    "loss": float(loss),
+                                    "batch_psnr": psnr,
+                                    "ts": _time.time(),
+                                }
+                            )
+                            + "\n"
+                        )
         return float(loss) if loss is not None else None
 
     # -- checkpointing (replacing tf.train.Saver, model.py:70,146-149) --

@@ -132,3 +132,25 @@ def test_predict_uint8_float_path():
     x = synth_frames(1, 32, 48)
     out = np.asarray(FM.predict_uint8(params, x))
     assert out.shape == x.shape and out.dtype == np.uint8
+
+
+def test_tiled_float_predict_matches_whole_frame():
+    """divided_run analog: tiled prediction == whole-frame, everywhere."""
+    params = FM.init_params(1)
+    x = synth_frames(1, 70, 90, seed=4)
+    whole = np.asarray(FM.predict_uint8(params, x))
+    tiled = FM.predict_uint8_tiled(params, x, tile=32, pad=10)
+    assert (tiled == whole).all()
+
+
+def test_trainer_metrics_jsonl(tmp_path):
+    import json
+
+    mesh = make_mesh(1, 1)
+    tr = Trainer(TrainConfig(lr=1e-3, log_every=1), mesh=mesh)
+    _, batches = _patch_batches(3, batch=4)
+    path = str(tmp_path / "metrics.jsonl")
+    tr.fit_batches(batches, log_fn=lambda *_: None, metrics_path=path)
+    rows = [json.loads(l) for l in open(path)]
+    assert len(rows) == 3
+    assert all("loss" in r and "batch_psnr" in r for r in rows)

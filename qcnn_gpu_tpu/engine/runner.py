@@ -74,9 +74,9 @@ class Engine:
                     self._models[qp], self.mesh, impl=self.impl
                 )
             elif self.impl == "pallas":
-                from qcnn_gpu_tpu.ops.pallas_pipeline import build_pallas_forward
+                from qcnn_gpu_tpu.ops.pallas_pipeline2 import build_pallas_forward2
 
-                run = build_pallas_forward(self._models[qp])
+                run = build_pallas_forward2(self._models[qp])
                 run.impl = "pallas"
                 self._programs[key] = run
             else:

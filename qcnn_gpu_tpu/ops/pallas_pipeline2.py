@@ -191,7 +191,7 @@ def _make_kernel2(th: int, we: int, mul4: int, shift4: int, unroll: bool = False
 
 
 def build_pallas_forward2(
-    p: EngineParams, th: int = 48, we: int = 256, interpret: bool = False,
+    p: EngineParams, th: int = 64, we: int = 256, interpret: bool = False,
     unroll: bool = True, dtype=None,
 ):
     """Frame-pair-packed fused restorer: fn(uint8 [B,H,W]) -> uint8 [B,H,W].
@@ -216,13 +216,15 @@ def build_pallas_forward2(
         nh = -(-h // th)
         nw = -(-w // tw)
         hp, wp = nh * th, nw * tw
-        x = x_uint8.astype(jnp.int32) - 128
+        # ppro + cast BEFORE windowing: the gather/stack chain then moves
+        # 1-byte (int8) or 2-byte data instead of int32
+        x = (x_uint8.astype(jnp.int32) - 128).astype(dtype)
         xp = jnp.pad(x, ((0, 0), (HALO, HALO + hp - h), (HALO, HALO + wp - w)))
         xw = _window(xp, th, tw, he, we, nh, nw)
 
         m1 = (th + 8) * we
         flat = jnp.pad(
-            xw.reshape(b, nh, nw, he * we).astype(dtype),
+            xw.reshape(b, nh, nw, he * we),
             ((0, 0), (0, 0), (0, 0), (0, 8)),
         )
         taps = [

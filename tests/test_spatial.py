@@ -55,3 +55,33 @@ def test_mesh_shape_heuristic():
     assert mesh_shape_for(8, frames=2, rows=1080) == (2, 4)
     dp, sp = mesh_shape_for(8, frames=1, rows=64)
     assert dp == 1 and sp == 1  # too few rows to justify spatial shards
+
+
+def test_tp_conv_pair_matches_unsharded():
+    """Channel-sharded conv pair == unsharded (TP analog, demonstration
+    scale; an all-channels-on-one-chip psum identity check)."""
+    _need_devices(8)
+    import jax.numpy as jnp
+    from jax import lax
+
+    from qcnn_gpu_tpu.parallel.tensor import make_tp_conv_pair
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(1, 16, 24, 8)), jnp.float32)
+    w_a = jnp.asarray(rng.normal(size=(3, 3, 8, 32)), jnp.float32)
+    b_a = jnp.asarray(rng.normal(size=(32,)), jnp.float32)
+    w_b = jnp.asarray(rng.normal(size=(3, 3, 32, 8)), jnp.float32)
+    b_b = jnp.asarray(rng.normal(size=(8,)), jnp.float32)
+
+    mesh = make_mesh(1, 8)
+    f = make_tp_conv_pair(mesh, axis="sp")
+    got = np.asarray(f(x, w_a, b_a, w_b, b_b))
+
+    def conv(x, w):
+        return lax.conv_general_dilated(
+            x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        )
+
+    want = np.asarray(conv(jnp.maximum(conv(x, w_a) + b_a, 0.0), w_b) + b_b)
+    # f32 summation order differs across the psum split: ~1e-4 abs
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)

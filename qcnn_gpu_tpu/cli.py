@@ -27,13 +27,18 @@ def _add_geometry(p):
 def cmd_run(args) -> int:
     from qcnn_gpu_tpu.engine.runner import Engine
 
-    mesh = None
-    if args.mesh:
-        from qcnn_gpu_tpu.parallel.mesh import make_mesh
+    if args.config:
+        from qcnn_gpu_tpu.config import Config
 
-        dp, sp = (int(v) for v in args.mesh.split("x"))
-        mesh = make_mesh(dp, sp)
-    eng = Engine(impl=args.impl, mesh=mesh, out_dir=args.out_dir)
+        eng = Config.load(args.config).make_engine()
+    else:
+        mesh = None
+        if args.mesh:
+            from qcnn_gpu_tpu.parallel.mesh import make_mesh
+
+            dp, sp = (int(v) for v in args.mesh.split("x"))
+            mesh = make_mesh(dp, sp)
+        eng = Engine(impl=args.impl, mesh=mesh, out_dir=args.out_dir)
     eng.load_model(args.qp, args.model, fmt=args.model_format)
     rec = eng.run_sequence(
         name=args.anchor,
@@ -132,9 +137,9 @@ def cmd_calibrate(args) -> int:
         blu = calibrate_blu_bounds(params, sample)
     else:
         blu = None
-    table = solve_table(params, blu_bounds=blu, qp=args.qp)
+    table = solve_table(params, blu_bounds=blu, qp=args.qp, wbits=args.wbits)
     table.save_pickle(args.table_out)
-    ep = quantize_model(params, table)
+    ep = quantize_model(params, table, wbits=args.wbits)
     if args.model_out:
         if args.model_format == "vect_c":
             write_static_qfp_vect_c(args.model_out, ep)
@@ -290,6 +295,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--model-format", default="vect_c", choices=["vect_c", "hwcn"])
     p.add_argument("--qp", type=int, required=True)
     p.add_argument("--impl", default="auto", choices=["auto", "bf16", "int", "pallas"])
+    p.add_argument("--config", default=None, help="JSON Config file (overrides flags)")
     p.add_argument("--mesh", default="", help="dpxsp, e.g. 2x4")
     p.add_argument("--recon", default=None)
     p.add_argument("--out-dir", default=".")
@@ -337,6 +343,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--table-out", default="quant_table.data")
     p.add_argument("--model-out", default=None)
     p.add_argument("--model-format", default="vect_c", choices=["vect_c", "hwcn"])
+    p.add_argument("--wbits", type=int, default=8, choices=[4, 8],
+                   help="weight grid: 8 (reference) or 4 (INT4 stretch)")
     p.set_defaults(fn=cmd_calibrate)
 
     p = sub.add_parser("finetune", help="shadow-weight quant-aware fine-tune")

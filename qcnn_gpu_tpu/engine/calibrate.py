@@ -38,22 +38,26 @@ def solve_table(
     params: FM.Params,
     blu_bounds: Optional[Sequence[float]] = None,
     qp: Optional[int] = None,
+    wbits: int = 8,
 ) -> QuantTable:
     """Fixed-point table from float weights; blu_bounds from calibration or
-    the reference's per-QP presets."""
+    the reference's per-QP presets. wbits=4 solves for the INT4 stretch
+    grid (larger stepw; the mul/shift chain adapts automatically)."""
     if blu_bounds is None:
         if qp is None:
             raise ValueError("need blu_bounds or qp")
         blu_bounds = BLU_INIT[qp]
     ws, _ = FM.params_to_lists(params)
-    return solve_network(stepw_from_weights([np.asarray(w) for w in ws]), blu_bounds)
+    return solve_network(
+        stepw_from_weights([np.asarray(w) for w in ws], bits=wbits), blu_bounds
+    )
 
 
-def quantize_model(params: FM.Params, table: QuantTable) -> EngineParams:
-    """Float params -> integer engine params on the int8 grid."""
+def quantize_model(params: FM.Params, table: QuantTable, wbits: int = 8) -> EngineParams:
+    """Float params -> integer engine params on the signed `wbits` grid."""
     ws, bs = FM.params_to_lists(params)
     return EngineParams.from_float(
-        [np.asarray(w) for w in ws], [np.asarray(b) for b in bs], table
+        [np.asarray(w) for w in ws], [np.asarray(b) for b in bs], table, wbits=wbits
     )
 
 

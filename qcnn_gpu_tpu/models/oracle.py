@@ -73,16 +73,22 @@ class EngineParams:
             assert b.shape == (layer.out_ch,)
 
     @classmethod
-    def from_float(cls, weights_f, biases_f, table) -> "EngineParams":
-        """Quantize float HWIO weights/biases onto the int8 grid using a
-        QuantTable: w_int = clip(round(w/stepw), -128, 127) and
-        b_int = round(b * ratio_in / stepw) — the integer bias the engine
-        adds in the accumulator domain (the domain where x carries scale
-        ratio_in and w carries 1/stepw; cf. conv_validation printing
-        round(b/stepw*ratio), model.py:381)."""
+    def from_float(cls, weights_f, biases_f, table, wbits: int = 8) -> "EngineParams":
+        """Quantize float HWIO weights/biases onto the signed `wbits` grid
+        using a QuantTable: w_int = clip(round(w/stepw), -2^(b-1), 2^(b-1)-1)
+        and b_int = round(b * ratio_in / stepw) — the integer bias the
+        engine adds in the accumulator domain (the domain where x carries
+        scale ratio_in and w carries 1/stepw; cf. conv_validation printing
+        round(b/stepw*ratio), model.py:381).
+
+        wbits=8 is the reference grid; wbits=4 is the INT4 stretch variant
+        (BASELINE config 5): int4-valued weights stored in int8, running
+        through the identical integer arithmetic — the solver's stepw must
+        come from stepw_from_weights(bits=4) for full-range use."""
+        lo, hi = -(1 << (wbits - 1)), (1 << (wbits - 1)) - 1
         ws, bs, blus, muls, shifts = [], [], [], [], []
         for wf, bf, row in zip(weights_f, biases_f, table):
-            wq = np.clip(np.round(wf / row.stepw), -128, 127).astype(np.int8)
+            wq = np.clip(np.round(wf / row.stepw), lo, hi).astype(np.int8)
             bq = np.round(np.asarray(bf) * row.ratio / row.stepw).astype(np.int32)
             ws.append(wq)
             bs.append(bq)

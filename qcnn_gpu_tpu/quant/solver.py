@@ -158,17 +158,20 @@ def solve_network(stepw: Sequence[float], blu: Sequence[float]) -> QuantTable:
     return QuantTable([c1, c2_1, c2_2, c3_1, c3_2, c4])
 
 
-def stepw_from_weights(weights: Sequence[np.ndarray]) -> List[float]:
+def stepw_from_weights(weights: Sequence[np.ndarray], bits: int = 8) -> List[float]:
     """Asymmetric abs-max weight step per layer. (py:77-86.)
 
-    stepw = max/127 if the positive tail dominates else -min/128, mapping the
-    observed range onto the full signed int8 grid.
-    """
+    stepw = max/(2^(b-1)-1) if the positive tail dominates else
+    -min/2^(b-1), mapping the observed range onto the full signed `bits`
+    grid (bits=8 reproduces the reference's /127 vs /128; bits=4 is the
+    INT4 stretch variant)."""
+    hi_div = float((1 << (bits - 1)) - 1)
+    lo_div = float(1 << (bits - 1))
     steps = []
     for w in weights:
         hi = float(np.max(w))
         lo = float(np.min(w))
-        steps.append(hi / 127.0 if hi / 127.0 > -lo / 128.0 else -lo / 128.0)
+        steps.append(hi / hi_div if hi / hi_div > -lo / lo_div else -lo / lo_div)
     return steps
 
 

@@ -21,7 +21,7 @@ All integers little-endian; layer order C1, C2_1, C2_2, C3_1, C3_2, C4.
 from __future__ import annotations
 
 import struct
-from typing import BinaryIO, List, Sequence, Tuple, Union
+from typing import BinaryIO, List, Tuple, Union
 
 import numpy as np
 

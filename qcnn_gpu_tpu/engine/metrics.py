@@ -12,7 +12,6 @@ import dataclasses
 import json
 import os
 import time
-from typing import Optional
 
 from qcnn_gpu_tpu.data.model_files import append_psnr_record
 

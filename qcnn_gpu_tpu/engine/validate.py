@@ -13,7 +13,7 @@ The reference's verification machinery, formalized (SURVEY.md §4):
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 

@@ -33,7 +33,7 @@ Semantics contract (each item cites the reference behavior it mirrors):
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Sequence
+from typing import List, Optional
 
 import numpy as np
 

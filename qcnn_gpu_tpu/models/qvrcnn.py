@@ -24,7 +24,6 @@ epilogue contract of SURVEY.md §5.1.
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import List, Literal, Optional, Tuple
 
 import jax

@@ -20,8 +20,6 @@ this environment keeps x64 off globally. Calibration is not a hot path.
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 from jax import lax

@@ -119,7 +119,8 @@ def _requant_vec(u_i32, blu_q, mul, bias_pre, shift):
     return jnp.where(u_i32 > blu_q, 127, jnp.where(u_i32 < 0, 0, mid))
 
 
-def _stage(v_ref, w_ref, n_taps, we, m_out, b_i32, qvec, mask=None, unroll=False):
+def _stage(v_ref, w_ref, n_taps, we, m_out, b_i32, qvec, mask=None, unroll=False,
+           requant=None):
     """One merged conv stage (+ optional integer epilogue).
 
     v_ref: VMEM ref [M_in, Cin] flat; tap (dy,dx) is a MEMORY load at
@@ -168,7 +169,7 @@ def _stage(v_ref, w_ref, n_taps, we, m_out, b_i32, qvec, mask=None, unroll=False
     u = acc.astype(jnp.int32) + b_i32 if acc_dtype != jnp.int32 else acc + b_i32
     if qvec is None:
         return u
-    v = _requant_vec(u, *qvec).astype(v_ref.dtype)
+    v = (requant or _requant_vec)(u, *qvec).astype(v_ref.dtype)
     # zero tail: the next stage's flat tap slices over-run by up to k-1
     # elements (row-crossing of the last row's garbage columns)
     v = jnp.pad(v, ((0, 8), (0, 0)))

@@ -84,17 +84,24 @@ class PackedWeights2:
         def tile2(v):
             return jnp.asarray(np.tile(np.asarray(v), 2)[None, :], dtype=jnp.int32)
 
+        # Folded epilogue constants (see _requant_fast): biases absorb the
+        # pre-multiply rounding bias, thresholds shift accordingly.
         def q2x(i):
+            bp = np.asarray(mp.bias_pre[i])
             return tuple(
                 tile2(v)
-                for v in (mp.blu_q[i], mp.mul[i], mp.bias_pre[i], mp.shift[i])
+                for v in (np.asarray(mp.blu_q[i]) + bp, mp.mul[i], mp.shift[i])
             )
 
+        bp0 = np.asarray(mp.bias_pre[0])
         q1cm = tuple(
             jnp.asarray(np.asarray(v)[:, None], dtype=jnp.int32)
-            for v in (mp.blu_q[0], mp.mul[0], mp.bias_pre[0], mp.shift[0])
+            for v in (np.asarray(mp.blu_q[0]) + bp0, mp.mul[0], mp.shift[0])
         )
         b = [np.asarray(x, dtype=np.int32) for x in mp.b_i32]
+        b1f = b[0] + bp0
+        b2f = np.asarray(mp.b_i32[1]) + np.asarray(mp.bias_pre[1])
+        b3f = np.asarray(mp.b_i32[2]) + np.asarray(mp.bias_pre[2])
         b4_2 = np.zeros(8, np.int32)
         b4_2[0] = b4_2[1] = b[3][0]
         return cls(
@@ -102,10 +109,10 @@ class PackedWeights2:
             w2b=jnp.asarray(_blockdiag_taps(w[1], 5), dtype=dtype),
             w3b=jnp.asarray(_blockdiag_taps(w[2], 3), dtype=dtype),
             w4b=jnp.asarray(_blockdiag_taps(w[3], 3, pad_cout=6), dtype=dtype),
-            b1cm=jnp.asarray(b[0][:, None], dtype=jnp.int32),
+            b1cm=jnp.asarray(b1f[:, None], dtype=jnp.int32),
             q1cm=q1cm,
-            b2=tile2(b[1]),
-            b3=tile2(b[2]),
+            b2=tile2(b2f),
+            b3=tile2(b3f),
             b4=jnp.asarray(b4_2[None, :], dtype=jnp.int32),
             q2=q2x(1),
             q3=q2x(2),
@@ -119,6 +126,26 @@ class PackedWeights2:
             self.b1cm, self.b2, self.b3, self.b4,
             *self.q1cm, *self.q2, *self.q3,
         ]
+
+
+def _requant_fast(u_folded, blu_b, mul, shift):
+    """Folded BLU+requant: with u' = u + bias_pre (bias_pre absorbed into
+    the conv bias) and B = blu_q + bias_pre,
+
+        clip((min(u', B) * mul) >> shift, 0, 127)
+
+    equals the reference chain exactly:
+      * u in [0, blu_q]: min is a no-op and (u'*mul)>>shift is the
+        original ((u+bias_pre)*mul)>>shift, already in [0, 127]
+      * u > blu_q: min clamps to B; (B*mul)>>shift == 127 because
+        blu_q*mul/2^shift in (127, 127.5] and bias_pre*mul <= 2^(shift-1)
+      * u < 0: u' < bias_pre, so (u'*mul)>>shift <= 0 -> lower clip 0
+        (for u' in [0, bias_pre), u'*mul < 2^(shift-1) shifts to 0)
+    The two-sided clamp also prevents int32 overflow in BOTH directions
+    (B*mul < 2^31; without the lower clamp a large-negative u'*mul could
+    wrap positive). ~half the VPU passes of the literal chain."""
+    u = jnp.clip(u_folded, 0, blu_b)
+    return jnp.minimum(jnp.right_shift(u * mul, shift), 127)
 
 
 def _apply_mask(v, mk):
@@ -141,9 +168,9 @@ def _make_kernel2(th: int, we: int, mul4: int, shift4: int, unroll: bool = False
         mk1_ref,  # [1,1, m1+8, 1] shared frame-edge mask (spatial only)
         w1_ref, w2b_ref, w3b_ref, w4b_ref,
         b1cm_ref, b2_ref, b3_ref, b4_ref,
-        q1b_ref, q1m_ref, q1p_ref, q1s_ref,
-        q2b_ref, q2m_ref, q2p_ref, q2s_ref,
-        q3b_ref, q3m_ref, q3p_ref, q3s_ref,
+        q1b_ref, q1m_ref, q1s_ref,
+        q2b_ref, q2m_ref, q2s_ref,
+        q3b_ref, q3m_ref, q3s_ref,
         out_ref,  # [1,1,1, m4, 2] i16 residuals, col per frame
         v1s, v2s, v3s,
     ):
@@ -156,9 +183,9 @@ def _make_kernel2(th: int, we: int, mul4: int, shift4: int, unroll: bool = False
                 w1_ref[...], a1t_ref[0, 0, 0, rows[0] : rows[1], :],
                 preferred_element_type=acc1,
             )
-            v = _requant_vec(
+            v = _requant_fast(
                 u.astype(jnp.int32) + b1cm_ref[...],
-                q1b_ref[...], q1m_ref[...], q1p_ref[...], q1s_ref[...],
+                q1b_ref[...], q1m_ref[...], q1s_ref[...],
             )
             return jnp.transpose(v.astype(act_dtype))  # [m1, 64]
 
@@ -171,15 +198,17 @@ def _make_kernel2(th: int, we: int, mul4: int, shift4: int, unroll: bool = False
         s3_shift = 3 * we + 3
         v2s[...] = _stage(
             v1s, w2b_ref, 25, we, m2, b2_ref[...],
-            (q2b_ref[...], q2m_ref[...], q2p_ref[...], q2s_ref[...]),
+            (q2b_ref[...], q2m_ref[...], q2s_ref[...]),
             mask=lambda v: _apply_mask(v, mk1_ref[0, 0, s2_shift : s2_shift + m2 + 8, :]),
             unroll=unroll,
+            requant=_requant_fast,
         )
         v3s[...] = _stage(
             v2s, w3b_ref, 9, we, m3, b3_ref[...],
-            (q3b_ref[...], q3m_ref[...], q3p_ref[...], q3s_ref[...]),
+            (q3b_ref[...], q3m_ref[...], q3s_ref[...]),
             mask=lambda v: _apply_mask(v, mk1_ref[0, 0, s3_shift : s3_shift + m3 + 8, :]),
             unroll=unroll,
+            requant=_requant_fast,
         )
 
         # ---- S4 + final residual requant, both frames ----

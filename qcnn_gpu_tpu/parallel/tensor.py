@@ -22,8 +22,6 @@ engine unchanged (the requant epilogue runs after the psum).
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -76,7 +76,15 @@ class Engine:
             elif self.impl == "pallas":
                 from qcnn_gpu_tpu.ops.pallas_pipeline2 import build_pallas_forward2
 
-                run = build_pallas_forward2(self._models[qp])
+                # Mosaic kernels need a TPU; fall back to the Pallas
+                # interpreter on CPU (slow but bit-identical) with a small
+                # tile so tests/dev machines exercise the same code path
+                interpret = jax.default_backend() == "cpu"
+                run = build_pallas_forward2(
+                    self._models[qp],
+                    th=8 if interpret else 64,
+                    interpret=interpret,
+                )
                 run.impl = "pallas"
                 self._programs[key] = run
             else:

@@ -141,3 +141,13 @@ def test_manifest_roundtrip(tmp_path):
     assert JCTVC_SEQUENCES[0].anchor_path("/d", 22).endswith(
         "Traffic_intra_main_HM16.0_anchor_Q22.yuv"
     )
+
+def test_engine_pallas_impl_on_cpu(clip, tmp_path):
+    """impl=pallas falls back to the interpreter off-TPU; output still
+    bit-exact vs the oracle."""
+    _, _, _, anchor = clip
+    p = synth_engine_params(37)
+    eng = Engine(impl="pallas", out_dir=str(tmp_path), batch_frames=3)
+    eng.set_model(37, p)
+    got = eng.restore(anchor, 37)
+    assert (got == O.forward_blu(anchor, p)).all()

@@ -68,9 +68,15 @@ class DistributedRunner:
 
     def restore(self, frames: np.ndarray) -> np.ndarray:
         """frames: [N, H, W] uint8 (process-local shard when multi-host).
-        Returns the restored frames gathered to the host."""
+        Returns the GLOBAL restored batch on every process (single-process:
+        a plain device fetch; multi-host: an all-gather over DCN — the
+        'cross-host allgather of restored tiles' of the north star)."""
         out = self.run(self._shard(frames))
-        return np.asarray(out)
+        if jax.process_count() == 1:
+            return np.asarray(out)
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(out, tiled=True))
 
     def psnr(self, a: np.ndarray, ref: np.ndarray) -> float:
         """Distributed PSNR over the mesh (psum of per-device SSE)."""

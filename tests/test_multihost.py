@@ -1,0 +1,85 @@
+"""REAL multi-process jax.distributed test (2 processes x 4 CPU devices).
+
+The reference has nothing to compare here (single-GPU); SURVEY §4 calls
+for multi-host testing via jax.distributed with CPU devices. This spawns
+two actual processes that join one process group over a local TCP
+coordinator, shard a global frame batch (each feeds its local half),
+restore under the global mesh program, all-gather, and check bit-exactness
+against the oracle in BOTH processes.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+import textwrap
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORKER = textwrap.dedent(
+    """
+    import sys
+    sys.path.insert(0, {repo!r})
+    import jax
+    jax.config.update('jax_platforms', 'cpu')
+    pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+    jax.distributed.initialize(
+        coordinator_address=f"127.0.0.1:{{port}}", num_processes=nproc, process_id=pid
+    )
+    import numpy as np
+    from qcnn_gpu_tpu.models import oracle as O
+    from qcnn_gpu_tpu.parallel.distributed import DistributedRunner
+    from qcnn_gpu_tpu.parallel.mesh import make_mesh
+    from qcnn_gpu_tpu.testing import synth_engine_params, synth_frames
+
+    ndev = len(jax.devices())
+    assert jax.process_count() == nproc
+    mesh = make_mesh(ndev, 1)
+    p = synth_engine_params(37)
+    runner = DistributedRunner(p, mesh=mesh, impl="int")
+    gframes = synth_frames(ndev * 2, 32, 48, seed=5)
+    local = np.array_split(gframes, nproc)[pid]
+    out = runner.restore(local)
+    want = O.forward_blu(gframes, p)
+    assert out.shape == want.shape and (out == want).all()
+    print(f"MHOK {{pid}}")
+    """
+)
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.mark.timeout(300)
+def test_two_process_distributed_restore(tmp_path):
+    script = tmp_path / "worker.py"
+    script.write_text(WORKER.format(repo=REPO))
+    port = _free_port()
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env.pop("JAX_PLATFORMS", None)
+    env["JAX_PLATFORM_NAME"] = "cpu"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(i), "2", str(port)],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for pr in procs:
+        out, _ = pr.communicate(timeout=240)
+        outs.append(out)
+    for i, (pr, out) in enumerate(zip(procs, outs)):
+        assert pr.returncode == 0, f"proc {i} failed:\n{out[-2000:]}"
+        assert f"MHOK {i}" in out

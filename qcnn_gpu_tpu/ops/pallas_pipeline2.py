@@ -156,7 +156,10 @@ def _apply_mask(v, mk):
     return v * mk
 
 
-def _make_kernel2(th: int, we: int, mul4: int, shift4: int, unroll: bool = False):
+def _make_kernel2(th: int, we: int, mul4: int, shift4: int, unroll: bool = False,
+                  stages: int = 4):
+    # `stages` < 4 truncates the pipeline (perf ablation only — output is
+    # then NOT the restoration result)
     m1 = (th + 8) * we
     m2 = (th + 4) * we
     m3 = (th + 2) * we
@@ -193,6 +196,10 @@ def _make_kernel2(th: int, we: int, mul4: int, shift4: int, unroll: bool = False
         v1 = jnp.pad(v1, ((0, 8), (0, 0)))
         v1s[...] = _apply_mask(v1, mk1_ref[0, 0])
 
+        if stages <= 1:
+            out_ref[0, 0, 0] = v1s[: (th * we), 0:2].astype(jnp.int16)
+            return
+
         # ---- S2 / S3 (both frames per op) ----
         s2_shift = 2 * we + 2
         s3_shift = 3 * we + 3
@@ -203,6 +210,10 @@ def _make_kernel2(th: int, we: int, mul4: int, shift4: int, unroll: bool = False
             unroll=unroll,
             requant=_requant_fast,
         )
+        if stages <= 2:
+            out_ref[0, 0, 0] = v2s[: (th * we), 0:2].astype(jnp.int16)
+            return
+
         v3s[...] = _stage(
             v2s, w3b_ref, 9, we, m3, b3_ref[...],
             (q3b_ref[...], q3m_ref[...], q3s_ref[...]),
@@ -210,6 +221,10 @@ def _make_kernel2(th: int, we: int, mul4: int, shift4: int, unroll: bool = False
             unroll=unroll,
             requant=_requant_fast,
         )
+
+        if stages <= 3:
+            out_ref[0, 0, 0] = v3s[: (th * we), 0:2].astype(jnp.int16)
+            return
 
         # ---- S4 + final residual requant, both frames ----
         u4 = _stage(v3s, w4b_ref, 9, we, m4, b4_ref[...], None, unroll=unroll)  # [m4, 8]
@@ -221,7 +236,7 @@ def _make_kernel2(th: int, we: int, mul4: int, shift4: int, unroll: bool = False
 
 def build_pallas_forward2(
     p: EngineParams, th: int = 64, we: int = 256, interpret: bool = False,
-    unroll: bool = True, dtype=None,
+    unroll: bool = True, dtype=None, stages: int = 4,
 ):
     """Frame-pair-packed fused restorer: fn(uint8 [B,H,W]) -> uint8 [B,H,W].
     Odd batches are padded with a zero frame internally. dtype (default
@@ -280,7 +295,7 @@ def build_pallas_forward2(
             for mk in masks
         ]
 
-        kernel = _make_kernel2(th, we, pw.mul4, pw.shift4, unroll)
+        kernel = _make_kernel2(th, we, pw.mul4, pw.shift4, unroll, stages)
         out = pl.pallas_call(
             kernel,
             grid=(b2, nh, nw),

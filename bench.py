@@ -39,6 +39,11 @@ IMPL = os.environ.get("BENCH_IMPL", "auto")
 def main():
     import jax
 
+    # persistent compile cache: Mosaic kernel compiles go through a remote
+    # helper that can take minutes; cache hits skip it entirely
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     p = synth_engine_params(37)
     frames = synth_frames(BATCH, H, W, seed=1)
     xd = jax.device_put(frames)

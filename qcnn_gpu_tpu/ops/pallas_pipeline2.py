@@ -78,8 +78,10 @@ class PackedWeights2:
         mp = MergedParams.from_engine(p)
         w = [np.asarray(x, dtype=np.float32) for x in mp.w_i8]
 
-        w1 = w[0][..., 0, :].reshape(25, 64)
-        w1 = np.pad(w1, ((0, 7), (0, 0))).T  # [64, 32]
+        w1t = np.pad(w[0][..., 0, :].reshape(25, 64), ((0, 7), (0, 0)))  # [32, 64]
+        w1 = np.zeros((64, 128), np.float32)  # block-diag: taps x frames
+        w1[:32, :64] = w1t
+        w1[32:, 64:] = w1t
 
         def tile2(v):
             return jnp.asarray(np.tile(np.asarray(v), 2)[None, :], dtype=jnp.int32)
@@ -95,11 +97,15 @@ class PackedWeights2:
 
         bp0 = np.asarray(mp.bias_pre[0])
         q1cm = tuple(
-            jnp.asarray(np.asarray(v)[:, None], dtype=jnp.int32)
-            for v in (np.asarray(mp.blu_q[0]) + bp0, mp.mul[0], mp.shift[0])
+            jnp.asarray(np.tile(np.asarray(v), 2)[None, :], dtype=jnp.int32)
+            for v in (
+                np.asarray(mp.blu_q[0]) + bp0,
+                np.broadcast_to(np.asarray(mp.mul[0]), (64,)),
+                np.broadcast_to(np.asarray(mp.shift[0]), (64,)),
+            )
         )
         b = [np.asarray(x, dtype=np.int32) for x in mp.b_i32]
-        b1f = b[0] + bp0
+        b1f = np.tile(b[0] + bp0, 2)
         b2f = np.asarray(mp.b_i32[1]) + np.asarray(mp.bias_pre[1])
         b3f = np.asarray(mp.b_i32[2]) + np.asarray(mp.bias_pre[2])
         b4_2 = np.zeros(8, np.int32)
@@ -109,7 +115,7 @@ class PackedWeights2:
             w2b=jnp.asarray(_blockdiag_taps(w[1], 5), dtype=dtype),
             w3b=jnp.asarray(_blockdiag_taps(w[2], 3), dtype=dtype),
             w4b=jnp.asarray(_blockdiag_taps(w[3], 3, pad_cout=6), dtype=dtype),
-            b1cm=jnp.asarray(b1f[:, None], dtype=jnp.int32),
+            b1cm=jnp.asarray(b1f[None, :], dtype=jnp.int32),
             q1cm=q1cm,
             b2=tile2(b2f),
             b3=tile2(b3f),
@@ -157,9 +163,12 @@ def _apply_mask(v, mk):
 
 
 def _make_kernel2(th: int, we: int, mul4: int, shift4: int, unroll: bool = False,
-                  stages: int = 4):
+                  stages: int = 4, wc: int = 1):
     # `stages` < 4 truncates the pipeline (perf ablation only — output is
-    # then NOT the restoration result)
+    # then NOT the restoration result). `wc` = column-tiles per program:
+    # per-program fixed overhead (grid sequencing + DMA waits, ~10us)
+    # dominated at wc=1; processing wc tiles per program divides it,
+    # reusing the same scratch buffers sequentially.
     m1 = (th + 8) * we
     m2 = (th + 4) * we
     m3 = (th + 2) * we
@@ -167,38 +176,35 @@ def _make_kernel2(th: int, we: int, mul4: int, shift4: int, unroll: bool = False
     assert mul4 <= 127, f"final mul {mul4} too large for int32 requant"
 
     def kernel(
-        a1t_ref,  # [1,1,1, 64, m1]: rows 0:32 frame A taps, 32:64 frame B
-        mk1_ref,  # [1,1, m1+8, 1] shared frame-edge mask (spatial only)
+        a1t_ref,  # [1,1,wc, m1, 64]: lanes = taps x 2 frames (pixel-major)
+        mk1_ref,  # [1,wc, m1+8, 1] shared frame-edge mask (spatial only)
         w1_ref, w2b_ref, w3b_ref, w4b_ref,
         b1cm_ref, b2_ref, b3_ref, b4_ref,
         q1b_ref, q1m_ref, q1s_ref,
         q2b_ref, q2m_ref, q2s_ref,
         q3b_ref, q3m_ref, q3s_ref,
-        out_ref,  # [1,1,1, m4, 2] i16 residuals, col per frame
+        out_ref,  # [1,1,wc, m4, 2] i16 residuals, col per frame
         v1s, v2s, v3s,
     ):
-        # ---- S1 per frame (channel-major), then pack [px, 128] ----
+      for wi in range(wc):
+        # ---- S1: ONE pixel-major block-diagonal dot for both frames ----
+        # a1p [m1, 64] (taps x 2 frames along K) @ w1 [64, 128] -> [m1, 128]
+        # with cols 0:64 = frame A, 64:128 = frame B; no transposes.
         act_dtype = w1_ref.dtype
         acc1 = jnp.int32 if act_dtype == jnp.int8 else jnp.float32
-
-        def s1(rows):
-            u = jnp.dot(
-                w1_ref[...], a1t_ref[0, 0, 0, rows[0] : rows[1], :],
-                preferred_element_type=acc1,
-            )
-            v = _requant_fast(
-                u.astype(jnp.int32) + b1cm_ref[...],
-                q1b_ref[...], q1m_ref[...], q1s_ref[...],
-            )
-            return jnp.transpose(v.astype(act_dtype))  # [m1, 64]
-
-        v1 = jnp.concatenate([s1((0, 32)), s1((32, 64))], axis=1)  # [m1, 128]
+        u1 = jnp.dot(
+            a1t_ref[0, 0, wi], w1_ref[...], preferred_element_type=acc1
+        )
+        v1 = _requant_fast(
+            u1.astype(jnp.int32) + b1cm_ref[...],
+            q1b_ref[...], q1m_ref[...], q1s_ref[...],
+        ).astype(act_dtype)
         v1 = jnp.pad(v1, ((0, 8), (0, 0)))
-        v1s[...] = _apply_mask(v1, mk1_ref[0, 0])
+        v1s[...] = _apply_mask(v1, mk1_ref[0, wi])
 
         if stages <= 1:
-            out_ref[0, 0, 0] = v1s[: (th * we), 0:2].astype(jnp.int16)
-            return
+            out_ref[0, 0, wi] = v1s[: (th * we), 0:2].astype(jnp.int16)
+            continue
 
         # ---- S2 / S3 (both frames per op) ----
         s2_shift = 2 * we + 2
@@ -206,37 +212,37 @@ def _make_kernel2(th: int, we: int, mul4: int, shift4: int, unroll: bool = False
         v2s[...] = _stage(
             v1s, w2b_ref, 25, we, m2, b2_ref[...],
             (q2b_ref[...], q2m_ref[...], q2s_ref[...]),
-            mask=lambda v: _apply_mask(v, mk1_ref[0, 0, s2_shift : s2_shift + m2 + 8, :]),
+            mask=lambda v: _apply_mask(v, mk1_ref[0, wi, s2_shift : s2_shift + m2 + 8, :]),
             unroll=unroll,
             requant=_requant_fast,
         )
         if stages <= 2:
-            out_ref[0, 0, 0] = v2s[: (th * we), 0:2].astype(jnp.int16)
-            return
+            out_ref[0, 0, wi] = v2s[: (th * we), 0:2].astype(jnp.int16)
+            continue
 
         v3s[...] = _stage(
             v2s, w3b_ref, 9, we, m3, b3_ref[...],
             (q3b_ref[...], q3m_ref[...], q3s_ref[...]),
-            mask=lambda v: _apply_mask(v, mk1_ref[0, 0, s3_shift : s3_shift + m3 + 8, :]),
+            mask=lambda v: _apply_mask(v, mk1_ref[0, wi, s3_shift : s3_shift + m3 + 8, :]),
             unroll=unroll,
             requant=_requant_fast,
         )
 
         if stages <= 3:
-            out_ref[0, 0, 0] = v3s[: (th * we), 0:2].astype(jnp.int16)
-            return
+            out_ref[0, 0, wi] = v3s[: (th * we), 0:2].astype(jnp.int16)
+            continue
 
         # ---- S4 + final residual requant, both frames ----
-        u4 = _stage(v3s, w4b_ref, 9, we, m4, b4_ref[...], None, unroll=unroll)  # [m4, 8]
+        u4 = _stage(v3s, w4b_ref, 9, we, m4, b4_ref[...], None, unroll=unroll)
         res = jnp.right_shift(u4[:, 0:2] * mul4 + (1 << (shift4 - 1)), shift4)
-        out_ref[0, 0, 0] = jnp.clip(res, -255, 255).astype(jnp.int16)
+        out_ref[0, 0, wi] = jnp.clip(res, -255, 255).astype(jnp.int16)
 
     return kernel
 
 
 def build_pallas_forward2(
     p: EngineParams, th: int = 64, we: int = 256, interpret: bool = False,
-    unroll: bool = True, dtype=None, stages: int = 4,
+    unroll: bool = True, dtype=None, stages: int = 4, wc: int = 1,
 ):
     """Frame-pair-packed fused restorer: fn(uint8 [B,H,W]) -> uint8 [B,H,W].
     Odd batches are padded with a zero frame internally. dtype (default
@@ -276,35 +282,41 @@ def build_pallas_forward2(
             for dy in range(5)
             for dx in range(5)
         ]
-        a1t = jnp.stack(taps, axis=3)  # [B, nh, nw, 25, m1]
-        a1t = jnp.pad(a1t, ((0, 0), (0, 0), (0, 0), (0, 7), (0, 0)))
-        # pack frame pairs along the tap axis: [B2, nh, nw, 64, m1]
+        a1t = jnp.stack(taps, axis=-1)  # [B, nh, nw, m1, 25] pixel-major
+        a1t = jnp.pad(a1t, ((0, 0), (0, 0), (0, 0), (0, 0), (0, 7)))
+        # pack frame pairs along the tap (lane) axis: [B2, nh, nw, m1, 64]
         a1t = (
-            a1t.reshape(b2, 2, nh, nw, 32, m1)
-            .transpose(0, 2, 3, 1, 4, 5)
-            .reshape(b2, nh, nw, 64, m1)
+            a1t.reshape(b2, 2, nh, nw, m1, 32)
+            .transpose(0, 2, 3, 4, 1, 5)
+            .reshape(b2, nh, nw, m1, 64)
         )
 
         masks = [_edge_masks(nh, nw, th, tw, we, h, w, m1 + 8, 4).astype(dtype)]
         mask_specs = [
             pl.BlockSpec(
-                (1, 1, mk.shape[2], 1),
+                (1, wc, mk.shape[2], 1),
                 lambda bi, hi, wi: (hi, wi, 0, 0),
                 memory_space=pltpu.VMEM,
             )
             for mk in masks
         ]
 
-        kernel = _make_kernel2(th, we, pw.mul4, pw.shift4, unroll, stages)
+        nwp = -(-nw // wc) * wc
+        if nwp != nw:
+            a1t = jnp.pad(a1t, ((0, 0), (0, 0), (0, nwp - nw), (0, 0), (0, 0)))
+            masks = [
+                jnp.pad(mk, ((0, 0), (0, nwp - nw), (0, 0), (0, 0))) for mk in masks
+            ]
+        kernel = _make_kernel2(th, we, pw.mul4, pw.shift4, unroll, stages, wc)
         out = pl.pallas_call(
             kernel,
-            grid=(b2, nh, nw),
+            grid=(b2, nh, nwp // wc),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024,
             ),
             in_specs=[
                 pl.BlockSpec(
-                    (1, 1, 1, 64, m1),
+                    (1, 1, wc, m1, 64),
                     lambda bi, hi, wi: (bi, hi, wi, 0, 0),
                     memory_space=pltpu.VMEM,
                 )
@@ -312,11 +324,11 @@ def build_pallas_forward2(
             + mask_specs
             + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in consts],
             out_specs=pl.BlockSpec(
-                (1, 1, 1, m4, 2),
+                (1, 1, wc, m4, 2),
                 lambda bi, hi, wi: (bi, hi, wi, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            out_shape=jax.ShapeDtypeStruct((b2, nh, nw, m4, 2), jnp.int16),
+            out_shape=jax.ShapeDtypeStruct((b2, nh, nwp, m4, 2), jnp.int16),
             scratch_shapes=[
                 pltpu.VMEM((m1 + 8, 128), dtype),
                 pltpu.VMEM(((th + 4) * we + 8, 96), dtype),
@@ -325,7 +337,8 @@ def build_pallas_forward2(
             interpret=interpret,
         )(a1t, *masks, *consts)
 
-        # unpack: [B2, nh, nw, m4, 2] -> [B, nh, nw, th, we] -> frames
+        # unpack: [B2, nh, nwp, m4, 2] -> [B, nh, nwp, th, we] -> frames
+        out = out[:, :, :nw]
         res = out.transpose(0, 4, 1, 2, 3).reshape(b, nh, nw, th, we)[..., :tw]
         res = res.transpose(0, 1, 3, 2, 4).reshape(b, hp, wp)[:, :h, :w]
         rec = x_uint8.astype(jnp.int32) + res.astype(jnp.int32)

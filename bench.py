@@ -41,8 +41,11 @@ def main():
 
     # persistent compile cache: Mosaic kernel compiles go through a remote
     # helper that can take minutes; cache hits skip it entirely
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
     p = synth_engine_params(37)
     frames = synth_frames(BATCH, H, W, seed=1)

@@ -48,6 +48,7 @@ class Engine:
         self.metrics = MetricsLog(out_dir)
         self._models: Dict[int, EngineParams] = {}
         self._programs: Dict[Tuple, object] = {}
+        self._pallas_failed: set = set()
 
     # ---- model management (load_static_para analog, qvrcnn.cu:47-63) ----
     def load_model(self, qp: int, path: str, fmt: str = "vect_c") -> None:
@@ -73,7 +74,11 @@ class Engine:
                 self._programs[key] = make_sharded_forward(
                     self._models[qp], self.mesh, impl=self.impl
                 )
-            elif self.impl == "pallas":
+            elif self.impl == "pallas" or (
+                self.impl == "auto"
+                and jax.default_backend() != "cpu"
+                and key not in self._pallas_failed
+            ):
                 from qcnn_gpu_tpu.ops.pallas_pipeline2 import build_pallas_forward2
 
                 # Mosaic kernels need a TPU; fall back to the Pallas
@@ -91,6 +96,22 @@ class Engine:
                 self._programs[key] = make_forward(self._models[qp], impl=self.impl)
         return self._programs[key]
 
+    def _run(self, qp: int, frames):
+        """Dispatch one batch. Under impl='auto' a Mosaic compile failure
+        (kernel compiles happen at first call, not build) demotes this QP's
+        program to the XLA graph permanently and retries — the same policy
+        as bench.py, so `auto` is always the fastest path that works."""
+        run = self._program(qp)
+        try:
+            return run(frames)
+        except Exception:
+            if self.impl != "auto" or getattr(run, "impl", "") != "pallas":
+                raise
+            key = (qp, self.impl, id(self.mesh))
+            self._pallas_failed.add(key)
+            self._programs.pop(key, None)
+            return self._program(qp)(frames)
+
     def profile_trace(self, trace_dir: str):
         """Context manager: capture a jax.profiler device trace of whatever
         runs inside (the TPU replacement for the reference's
@@ -102,13 +123,11 @@ class Engine:
     # ---- restoration ----
     def restore(self, frames: np.ndarray, qp: int) -> np.ndarray:
         """uint8 [N, H, W] -> restored uint8 [N, H, W] (blocking)."""
-        run = self._program(qp)
-        return np.asarray(run(frames))
+        return np.asarray(self._run(qp, frames))
 
     def restore_stream(self, frames: np.ndarray, qp: int) -> np.ndarray:
         """Batched streaming restore: device transfer of batch i+1 is
         issued while batch i computes."""
-        run = self._program(qp)
         n = frames.shape[0]
         bs = self.batch_frames
         outs: List = []
@@ -117,7 +136,7 @@ class Engine:
         for i in range(0, n, bs):
             chunk = frames[i : i + bs]
             staged = jax.device_put(chunk, device) if device is not None else chunk
-            out = run(staged)  # async dispatch
+            out = self._run(qp, staged)  # async dispatch
             if pending is not None:
                 outs.append(np.asarray(pending))  # blocks on previous batch
             pending = out
@@ -127,9 +146,8 @@ class Engine:
 
     def warmup(self, qp: int, height: int, width: int) -> None:
         """Compile ahead of the timed region (first-compile is seconds)."""
-        run = self._program(qp)
         dummy = np.zeros((min(self.batch_frames, 1), height, width), np.uint8)
-        np.asarray(run(dummy))
+        np.asarray(self._run(qp, dummy))
 
     # ---- the testqvrcnn analog (kernel.cu:74-116) ----
     def run_sequence(

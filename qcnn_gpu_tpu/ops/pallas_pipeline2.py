@@ -183,9 +183,18 @@ def _make_kernel2(th: int, we: int, mul4: int, shift4: int, unroll: bool = False
         q1b_ref, q1m_ref, q1s_ref,
         q2b_ref, q2m_ref, q2s_ref,
         q3b_ref, q3m_ref, q3s_ref,
-        out_ref,  # [1,1,wc, m4, 2] i16 residuals, col per frame
+        out_ref,  # [1,1,wc, 2, m4] i16 residuals, ROW per frame (lane-major:
+        #           lanes = pixels, so the block is 2x{m4} not m4x{2->128
+        #           lane-pad} — 256KB vs 8MB of scoped VMEM at wc=2, which
+        #           is what used to OOM the wc>=2 configs at 1080p)
         v1s, v2s, v3s,
     ):
+      def emit(wi, res_i32):
+          # [m4, 8] i32 -> transpose (full 8x128-tile relayout, ~64KB) ->
+          # keep frame rows 0:2 lane-major
+          t = jnp.transpose(res_i32)
+          out_ref[0, 0, wi] = jnp.clip(t[0:2, :], -255, 255).astype(jnp.int16)
+
       for wi in range(wc):
         # ---- S1: ONE pixel-major block-diagonal dot for both frames ----
         # a1p [m1, 64] (taps x 2 frames along K) @ w1 [64, 128] -> [m1, 128]
@@ -203,7 +212,7 @@ def _make_kernel2(th: int, we: int, mul4: int, shift4: int, unroll: bool = False
         v1s[...] = _apply_mask(v1, mk1_ref[0, wi])
 
         if stages <= 1:
-            out_ref[0, 0, wi] = v1s[: (th * we), 0:2].astype(jnp.int16)
+            emit(wi, v1s[: (th * we), 0:8].astype(jnp.int32))
             continue
 
         # ---- S2 / S3 (both frames per op) ----
@@ -217,7 +226,7 @@ def _make_kernel2(th: int, we: int, mul4: int, shift4: int, unroll: bool = False
             requant=_requant_fast,
         )
         if stages <= 2:
-            out_ref[0, 0, wi] = v2s[: (th * we), 0:2].astype(jnp.int16)
+            emit(wi, v2s[: (th * we), 0:8].astype(jnp.int32))
             continue
 
         v3s[...] = _stage(
@@ -229,13 +238,12 @@ def _make_kernel2(th: int, we: int, mul4: int, shift4: int, unroll: bool = False
         )
 
         if stages <= 3:
-            out_ref[0, 0, wi] = v3s[: (th * we), 0:2].astype(jnp.int16)
+            emit(wi, v3s[: (th * we), 0:8].astype(jnp.int32))
             continue
 
         # ---- S4 + final residual requant, both frames ----
         u4 = _stage(v3s, w4b_ref, 9, we, m4, b4_ref[...], None, unroll=unroll)
-        res = jnp.right_shift(u4[:, 0:2] * mul4 + (1 << (shift4 - 1)), shift4)
-        out_ref[0, 0, wi] = jnp.clip(res, -255, 255).astype(jnp.int16)
+        emit(wi, jnp.right_shift(u4 * mul4 + (1 << (shift4 - 1)), shift4))
 
     return kernel
 
@@ -324,11 +332,11 @@ def build_pallas_forward2(
             + mask_specs
             + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in consts],
             out_specs=pl.BlockSpec(
-                (1, 1, wc, m4, 2),
+                (1, 1, wc, 2, m4),
                 lambda bi, hi, wi: (bi, hi, wi, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            out_shape=jax.ShapeDtypeStruct((b2, nh, nwp, m4, 2), jnp.int16),
+            out_shape=jax.ShapeDtypeStruct((b2, nh, nwp, 2, m4), jnp.int16),
             scratch_shapes=[
                 pltpu.VMEM((m1 + 8, 128), dtype),
                 pltpu.VMEM(((th + 4) * we + 8, 96), dtype),
@@ -337,9 +345,9 @@ def build_pallas_forward2(
             interpret=interpret,
         )(a1t, *masks, *consts)
 
-        # unpack: [B2, nh, nwp, m4, 2] -> [B, nh, nwp, th, we] -> frames
+        # unpack: [B2, nh, nwp, 2, m4] -> [B, nh, nwp, th, we] -> frames
         out = out[:, :, :nw]
-        res = out.transpose(0, 4, 1, 2, 3).reshape(b, nh, nw, th, we)[..., :tw]
+        res = out.transpose(0, 3, 1, 2, 4).reshape(b, nh, nw, th, we)[..., :tw]
         res = res.transpose(0, 1, 3, 2, 4).reshape(b, hp, wp)[:, :h, :w]
         rec = x_uint8.astype(jnp.int32) + res.astype(jnp.int32)
         return jnp.clip(rec, 0, 255).astype(jnp.uint8)[:b0]

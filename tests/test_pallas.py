@@ -68,3 +68,21 @@ def test_pallas2_odd_batch_and_geometry():
         got = np.asarray(run(x))
         want = O.forward_blu(x, p)
         assert (got == want).all(), (n, h, w, np.sum(got != want))
+
+
+@pytest.mark.parametrize("wc", [2, 3])
+def test_pallas2_column_chunking(wc):
+    """wc>1 processes several column tiles per program (divides the
+    per-program grid overhead) with the lane-major [.., 2, m4] output;
+    must stay bit-exact incl. the nw % wc != 0 padded-tile case."""
+    from qcnn_gpu_tpu.ops.pallas_pipeline2 import build_pallas_forward2
+
+    p = synth_engine_params(37)
+    run = build_pallas_forward2(p, th=8, interpret=True, wc=wc)
+    # 300px wide -> nw=2 tiles at we=256 (tw=244): exercises nw<wc and
+    # nw not divisible by wc
+    for n, h, w, s in ((2, 40, 300, 5), (1, 24, 600, 6)):
+        x = synth_frames(n, h, w, seed=s)
+        got = np.asarray(run(x))
+        want = O.forward_blu(x, p)
+        assert (got == want).all(), (n, h, w, np.sum(got != want))

@@ -49,6 +49,8 @@ class Engine:
         self._models: Dict[int, EngineParams] = {}
         self._programs: Dict[Tuple, object] = {}
         self._pallas_failed: set = set()
+        self._tiled_geos: set = set()  # (key, (H, W)) that need host tiling
+        self.tile = (540, 960)  # divided_run-analog tile for the fallback
 
     # ---- model management (load_static_para analog, qvrcnn.cu:47-63) ----
     def load_model(self, qp: int, path: str, fmt: str = "vect_c") -> None:
@@ -100,14 +102,55 @@ class Engine:
         """Dispatch one batch. Under impl='auto' a Mosaic compile failure
         (kernel compiles happen at first call, not build) demotes this QP's
         program to the XLA graph permanently and retries — the same policy
-        as bench.py, so `auto` is always the fastest path that works."""
+        as bench.py, so `auto` is always the fastest path that works.
+        If the whole-frame program itself fails to compile (some remote
+        toolchains reject >1080p XLA graphs), the frame is restored via
+        the bit-exact host tiling path (engine/tiled.py, the divided_run
+        analog) — recorded per geometry so later batches skip the probe."""
+        key = (qp, self.impl, id(self.mesh))
+        geo = tuple(frames.shape[-2:])
+        if (key, geo) in self._tiled_geos:
+            return self._run_tiled(qp, frames)
         run = self._program(qp)
         try:
             return run(frames)
         except Exception:
-            if self.impl != "auto" or getattr(run, "impl", "") != "pallas":
-                raise
+            if (
+                self.impl == "auto"
+                and getattr(run, "impl", "") == "pallas"
+                and key not in self._pallas_failed
+            ):
+                self._pallas_failed.add(key)
+                self._programs.pop(key, None)
+                return self._run(qp, frames)
+            th, tw = self.tile
+            if self.mesh is None and (geo[0] > th or geo[1] > tw):
+                self._tiled_geos.add((key, geo))
+                return self._run_tiled(qp, frames)
+            raise
+
+    def _run_tiled(self, qp: int, frames):
+        from qcnn_gpu_tpu.engine.tiled import restore_tiled
+
+        th, tw = self.tile
+        return restore_tiled(
+            lambda t: self._run_whole(qp, t), np.asarray(frames), th, tw
+        )
+
+    def _run_whole(self, qp: int, frames):
+        """Whole-input dispatch with the pallas->xla demotion but without
+        the tiling fallback (tile inputs are already small)."""
+        run = self._program(qp)
+        try:
+            return run(frames)
+        except Exception:
             key = (qp, self.impl, id(self.mesh))
+            if (
+                self.impl != "auto"
+                or getattr(run, "impl", "") != "pallas"
+                or key in self._pallas_failed
+            ):
+                raise
             self._pallas_failed.add(key)
             self._programs.pop(key, None)
             return self._program(qp)(frames)

@@ -73,8 +73,33 @@ def main(out_path="bench_matrix.json"):
                 print(f"{name} {w}x{h}: {ms:.2f} ms/frame ({1000/ms:.0f} fps, "
                       f"{ref_ms/ms:.1f}x ref)", flush=True)
             except Exception as e:  # noqa: BLE001
-                rows[f"{w}x{h}"] = {"error": str(e)[:200]}
-                print(f"{name} {w}x{h}: FAIL {str(e)[:120]}", flush=True)
+                # whole-frame compile rejected (remote toolchains cap XLA
+                # graph size ~1080p): measure the bit-exact host-tiled
+                # fallback the engine uses for this geometry instead
+                try:
+                    from qcnn_gpu_tpu.engine.tiled import restore_tiled
+
+                    xh = np.asarray(synth_frames(batch, h, w, seed=1))
+                    restore_tiled(run, xh)  # warm the tile-shape compile
+                    n = 4
+                    t0 = time.perf_counter()
+                    for _ in range(n):
+                        o = restore_tiled(run, xh)
+                    ms = (time.perf_counter() - t0) / (n * batch) * 1000
+                    rows[f"{w}x{h}"] = {
+                        "ms_per_frame": round(ms, 3),
+                        "fps": round(1000 / ms, 1),
+                        "ref_best_ms": ref_ms,
+                        "speedup_vs_ref": round(ref_ms / ms, 2),
+                        "batch": batch,
+                        "tiled": True,
+                    }
+                    print(f"{name} {w}x{h}: {ms:.2f} ms/frame tiled "
+                          f"({1000/ms:.0f} fps, {ref_ms/ms:.1f}x ref)", flush=True)
+                except Exception as e2:  # noqa: BLE001
+                    rows[f"{w}x{h}"] = {"error": str(e)[:200],
+                                        "tiled_error": str(e2)[:200]}
+                    print(f"{name} {w}x{h}: FAIL {str(e)[:120]}", flush=True)
         report["device_ms_per_frame"][name] = rows
 
     with open(out_path, "w") as fp:

@@ -151,3 +151,38 @@ def test_engine_pallas_impl_on_cpu(clip, tmp_path):
     eng.set_model(37, p)
     got = eng.restore(anchor, 37)
     assert (got == O.forward_blu(anchor, p)).all()
+
+
+def test_tiled_restore_bit_exact():
+    """Host halo tiling (engine/tiled.py) == whole-frame, every pixel,
+    including ragged grids (H, W not multiples of the tile), one-axis
+    tiling, and tiles larger than the frame."""
+    from qcnn_gpu_tpu.engine.tiled import restore_tiled
+
+    p = synth_engine_params(37)
+    frames = synth_frames(2, 100, 130, seed=3)
+    whole = O.forward_blu(frames, p)
+    run = lambda t: O.forward_blu(np.asarray(t), p)  # noqa: E731
+    for th, tw in ((48, 64), (50, 130), (100, 57), (128, 256), (30, 200), (17, 23)):
+        got = restore_tiled(run, frames, tile_h=th, tile_w=tw)
+        assert (got == whole).all(), (th, tw)
+
+
+def test_tiled_restore_halo_guard():
+    from qcnn_gpu_tpu.engine.tiled import restore_tiled
+
+    with pytest.raises(ValueError):
+        restore_tiled(lambda t: t, synth_frames(1, 64, 64, seed=1), halo=3)
+
+
+def test_engine_tiled_fallback_bit_exact(tmp_path):
+    """Engine._run_tiled (the >1080p XLA-compile fallback) matches the
+    whole-frame program."""
+    p = synth_engine_params(22)
+    eng = Engine(impl="int", out_dir=str(tmp_path), batch_frames=4)
+    eng.set_model(22, p)
+    eng.tile = (48, 64)
+    frames = synth_frames(2, 100, 130, seed=9)
+    whole = eng.restore(frames, 22)
+    tiled = np.asarray(eng._run_tiled(22, frames))
+    assert (tiled == whole).all()

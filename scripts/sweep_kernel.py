@@ -1,0 +1,100 @@
+"""Kernel-config sweep for the fused Pallas pipeline (v2) on real TPU.
+
+Each (th, we, wc) config runs in its OWN subprocess with a hard timeout:
+the remote Mosaic compile helper intermittently hangs forever on a
+request, and a hung compile must cost one config, not the sweep. Exact-
+ness is certified per config against the NumPy oracle on a small frame
+before timing. Results append to a JSONL so a re-run resumes.
+
+    python scripts/sweep_kernel.py [results.jsonl]
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+CONFIGS = [
+    # (th, we, wc) — th=64/we=256/wc=1 is the shipping default; start
+    # from known-good neighbors so early results arrive fast
+    (64, 256, 1),
+    (64, 256, 2),
+    (64, 256, 4),
+    (64, 512, 1),
+    (64, 512, 2),
+    (128, 256, 1),
+    (128, 256, 2),
+    (128, 512, 1),
+    (32, 256, 2),
+    (32, 512, 4),
+    (256, 256, 1),
+    (64, 1024, 1),
+]
+
+CHILD = r"""
+import json, sys, time
+sys.path.insert(0, {repo!r})
+import numpy as np, jax
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from qcnn_gpu_tpu.ops.pallas_pipeline2 import build_pallas_forward2
+from qcnn_gpu_tpu.models import oracle as O
+from qcnn_gpu_tpu.testing import synth_engine_params, synth_frames
+
+th, we, wc = {th}, {we}, {wc}
+p = synth_engine_params(37)
+xs = synth_frames(2, 48, 488, seed=1)
+gold = O.forward_blu(xs, p)
+run = build_pallas_forward2(p, th=th, we=we, wc=wc)
+exact = bool((np.asarray(run(xs)) == gold).all())
+xb = jax.device_put(synth_frames(4, 1080, 1920, seed=2))
+out = run(xb); out.block_until_ready()
+n = 16
+t0 = time.perf_counter()
+for _ in range(n):
+    out = run(xb)
+out.block_until_ready()
+ms = 1000 * (time.perf_counter() - t0) / (n * 4)
+print("RESULT " + json.dumps({{"th": th, "we": we, "wc": wc,
+                               "ms_per_frame": round(ms, 3), "exact": exact}}))
+"""
+
+
+def main(out_path="sweep_kernel.jsonl", timeout_s=900):
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    done = set()
+    if os.path.exists(out_path):
+        for line in open(out_path):
+            r = json.loads(line)
+            done.add((r["th"], r["we"], r["wc"]))
+    for th, we, wc in CONFIGS:
+        if (th, we, wc) in done:
+            continue
+        code = CHILD.format(repo=repo, th=th, we=we, wc=wc)
+        try:
+            cp = subprocess.run(
+                [sys.executable, "-u", "-c", code],
+                capture_output=True, text=True, timeout=timeout_s,
+            )
+            row = None
+            for line in cp.stdout.splitlines():
+                if line.startswith("RESULT "):
+                    row = json.loads(line[7:])
+            if row is None:
+                tail = (cp.stderr or cp.stdout).strip().splitlines()[-3:]
+                row = {"th": th, "we": we, "wc": wc,
+                       "error": " | ".join(tail)[:300]}
+        except subprocess.TimeoutExpired:
+            row = {"th": th, "we": we, "wc": wc, "error": f"timeout {timeout_s}s"}
+        with open(out_path, "a") as fp:
+            fp.write(json.dumps(row) + "\n")
+        print(row, flush=True)
+    rows = [json.loads(l) for l in open(out_path)]
+    ok = [r for r in rows if r.get("exact") and "ms_per_frame" in r]
+    if ok:
+        best = min(ok, key=lambda r: r["ms_per_frame"])
+        print("BEST:", best)
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:])

@@ -57,8 +57,9 @@ def main():
     if IMPL in ("auto", "pallas2"):
         try:
             from qcnn_gpu_tpu.ops.pallas_pipeline2 import build_pallas_forward2
+            from qcnn_gpu_tpu.ops.tuning import tuned_kwargs
 
-            run = build_pallas_forward2(p)
+            run = build_pallas_forward2(p, **tuned_kwargs())
             out = run(xd)
             out.block_until_ready()
             run.impl = "pallas2"

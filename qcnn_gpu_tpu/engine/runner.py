@@ -82,15 +82,17 @@ class Engine:
                 and key not in self._pallas_failed
             ):
                 from qcnn_gpu_tpu.ops.pallas_pipeline2 import build_pallas_forward2
+                from qcnn_gpu_tpu.ops.tuning import tuned_kwargs
 
                 # Mosaic kernels need a TPU; fall back to the Pallas
                 # interpreter on CPU (slow but bit-identical) with a small
                 # tile so tests/dev machines exercise the same code path
                 interpret = jax.default_backend() == "cpu"
+                kw = {"th": 8} if interpret else dict(tuned_kwargs())
                 run = build_pallas_forward2(
                     self._models[qp],
-                    th=8 if interpret else 64,
                     interpret=interpret,
+                    **kw,
                 )
                 run.impl = "pallas"
                 self._programs[key] = run

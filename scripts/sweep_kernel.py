@@ -94,6 +94,11 @@ def main(out_path="sweep_kernel.jsonl", timeout_s=900):
     if ok:
         best = min(ok, key=lambda r: r["ms_per_frame"])
         print("BEST:", best)
+        if os.environ.get("SWEEP_WRITE_TUNED", "1") == "1":
+            sys.path.insert(0, repo)
+            from qcnn_gpu_tpu.ops.tuning import write_tuned
+
+            print("tuned ->", write_tuned(best))
 
 
 if __name__ == "__main__":

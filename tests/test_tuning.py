@@ -1,0 +1,82 @@
+"""Tuned-kernel-config plumbing (ops/tuning.py).
+
+The sweep (scripts/sweep_kernel.py) persists the measured-fastest
+exactness-certified (th, we, wc) to assets/tuned_kernel.json; production
+entry points build the Pallas pipeline through tuned_kwargs(). These
+tests pin the precedence contract: env knobs > config file > builder
+defaults, and that a tuned config flows through the interpreter-mode
+kernel bit-exactly.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from qcnn_gpu_tpu.ops import tuning
+
+
+@pytest.fixture()
+def clean_env(monkeypatch):
+    for k in ("QCNN_KERNEL_CONFIG", "QCNN_KERNEL_TH", "QCNN_KERNEL_WE", "QCNN_KERNEL_WC"):
+        monkeypatch.delenv(k, raising=False)
+    return monkeypatch
+
+
+def test_defaults_empty_without_file(clean_env, tmp_path):
+    clean_env.setenv("QCNN_KERNEL_CONFIG", str(tmp_path / "absent.json"))
+    assert tuning.tuned_kwargs() == {}
+
+
+def test_file_roundtrip_and_extra_keys_dropped(clean_env, tmp_path):
+    path = str(tmp_path / "tuned.json")
+    # write_tuned drops non-knob keys (sweep rows carry ms_per_frame etc.)
+    out = tuning.write_tuned({"th": 128, "we": 512, "wc": 2, "ms_per_frame": 8.1}, path)
+    assert out == path
+    clean_env.setenv("QCNN_KERNEL_CONFIG", path)
+    assert tuning.tuned_kwargs() == {"th": 128, "we": 512, "wc": 2}
+
+
+def test_env_overrides_file(clean_env, tmp_path):
+    path = str(tmp_path / "tuned.json")
+    tuning.write_tuned({"th": 128, "we": 512}, path)
+    clean_env.setenv("QCNN_KERNEL_CONFIG", path)
+    clean_env.setenv("QCNN_KERNEL_TH", "32")
+    assert tuning.tuned_kwargs() == {"th": 32, "we": 512}
+
+
+def test_partial_file_ok(clean_env, tmp_path):
+    path = str(tmp_path / "tuned.json")
+    with open(path, "w") as fp:
+        json.dump({"th": 16}, fp)
+    clean_env.setenv("QCNN_KERNEL_CONFIG", path)
+    assert tuning.tuned_kwargs() == {"th": 16}
+
+
+def test_corrupt_file_ignored(clean_env, tmp_path):
+    path = str(tmp_path / "tuned.json")
+    with open(path, "w") as fp:
+        fp.write("{not json")
+    clean_env.setenv("QCNN_KERNEL_CONFIG", path)
+    assert tuning.tuned_kwargs() == {}
+
+
+def test_tuned_config_flows_into_kernel_bit_exact(clean_env, tmp_path):
+    """A non-default tuned config drives the (interpreter-mode) fused
+    kernel and stays bit-exact vs the oracle."""
+    from qcnn_gpu_tpu.models import oracle
+    from qcnn_gpu_tpu.ops.pallas_pipeline2 import build_pallas_forward2
+    from qcnn_gpu_tpu.testing import synth_engine_params, synth_frames
+
+    path = str(tmp_path / "tuned.json")
+    tuning.write_tuned({"th": 16}, path)
+    clean_env.setenv("QCNN_KERNEL_CONFIG", path)
+    p = synth_engine_params(37)
+    xs = synth_frames(2, 24, 40, seed=3)
+    run = build_pallas_forward2(p, interpret=True, **tuning.tuned_kwargs())
+    assert (np.asarray(run(xs)) == oracle.forward_blu(xs, p)).all()
+
+
+def test_shipping_default_path_is_repo_assets():
+    assert tuning.TUNED_PATH.endswith(os.path.join("assets", "tuned_kernel.json"))

@@ -186,3 +186,38 @@ def test_engine_tiled_fallback_bit_exact(tmp_path):
     whole = eng.restore(frames, 22)
     tiled = np.asarray(eng._run_tiled(22, frames))
     assert (tiled == whole).all()
+
+
+def test_engine_demotes_pallas_failure_to_xla(monkeypatch):
+    """impl='auto' policy: a Mosaic compile failure at first call (not at
+    build — kernels compile lazily) permanently demotes that QP's program
+    to the XLA graph and retries, so `auto` is always the fastest path
+    that works (runner.py:103-132)."""
+    import jax
+
+    from qcnn_gpu_tpu.engine import runner as runner_mod
+    from qcnn_gpu_tpu.ops import pallas_pipeline2
+
+    def broken_build(p, **kw):
+        def run(frames):
+            raise RuntimeError("tpu_compile_helper subprocess exit code 1")
+
+        run.impl = "pallas"
+        return run
+
+    # make the runner take the pallas branch even on the CPU test machine
+    monkeypatch.setattr(runner_mod.jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(pallas_pipeline2, "build_pallas_forward2", broken_build)
+
+    p = synth_engine_params(37)
+    frames = synth_frames(2, 24, 40, seed=5)
+    eng = Engine(impl="auto")
+    eng.set_model(37, p)
+    rec = eng.restore(frames, qp=37)
+    assert (rec == O.forward_blu(frames, p)).all()
+    key = (37, "auto", id(None))
+    assert key in eng._pallas_failed
+    assert getattr(eng._programs[key], "impl", "") != "pallas"
+    # subsequent batches go straight to the demoted program (no re-probe)
+    rec2 = eng.restore(frames, qp=37)
+    assert (rec2 == rec).all()

@@ -86,14 +86,25 @@ class Engine:
 
                 # Mosaic kernels need a TPU; fall back to the Pallas
                 # interpreter on CPU (slow but bit-identical) with a small
-                # tile so tests/dev machines exercise the same code path
+                # default tile so tests/dev machines exercise the same code
+                # path (env QCNN_KERNEL_* still overrides; the hardware-
+                # tuned FILE is skipped — its tile targets the TPU).
                 interpret = jax.default_backend() == "cpu"
-                kw = {"th": 8} if interpret else dict(tuned_kwargs())
-                run = build_pallas_forward2(
-                    self._models[qp],
-                    interpret=interpret,
-                    **kw,
-                )
+                kw = {"th": 8, **tuned_kwargs(use_file=False)} if interpret else tuned_kwargs()
+                try:
+                    run = build_pallas_forward2(
+                        self._models[qp],
+                        interpret=interpret,
+                        **kw,
+                    )
+                except Exception:
+                    # build-time failure (bad tuned config, Mosaic reject):
+                    # under 'auto' demote to the XLA graph like a call-time
+                    # failure would; explicit impl='pallas' propagates
+                    if self.impl != "auto":
+                        raise
+                    self._pallas_failed.add(key)
+                    return self._program(qp)
                 run.impl = "pallas"
                 self._programs[key] = run
             else:

@@ -6,6 +6,10 @@ winner to `assets/tuned_kernel.json`; every production entry point
 (bench.py, engine/runner.py) builds the kernel through `tuned_kwargs()`
 so the shipping default IS the measured optimum. Override per-process
 with env `QCNN_KERNEL_CONFIG=/path/to.json` or `QCNN_KERNEL_<KNOB>=n`.
+
+Malformed config files or env values are never fatal: anything that
+does not parse as an int knob is skipped (the builder's own defaults
+apply) — a bad tuned file must not take down the engine.
 """
 
 from __future__ import annotations
@@ -23,27 +27,39 @@ TUNED_PATH = os.path.join(
 )
 
 
-def tuned_kwargs() -> Dict[str, int]:
+def tuned_kwargs(use_file: bool = True) -> Dict[str, int]:
     """Kernel-build kwargs from (in priority order) QCNN_KERNEL_* env vars,
     the QCNN_KERNEL_CONFIG file, assets/tuned_kernel.json, else {} (the
-    builder's own defaults)."""
+    builder's own defaults). use_file=False skips the file tiers (used by
+    the CPU interpret path, where the hardware-tuned tile is wrong)."""
     cfg: Dict[str, int] = {}
-    path = os.environ.get("QCNN_KERNEL_CONFIG", TUNED_PATH)
-    if os.path.exists(path):
-        try:
-            data = json.load(open(path))
-            cfg.update({k: int(data[k]) for k in _KNOBS if k in data})
-        except (ValueError, KeyError, OSError):
-            pass
+    if use_file:
+        path = os.environ.get("QCNN_KERNEL_CONFIG", TUNED_PATH)
+        if os.path.exists(path):
+            try:
+                with open(path) as fp:
+                    data = json.load(fp)
+                for k in _KNOBS:
+                    if isinstance(data, dict) and k in data:
+                        cfg[k] = int(data[k])
+            except (ValueError, TypeError, KeyError, OSError):
+                cfg.clear()
     for k in _KNOBS:
         v = os.environ.get(f"QCNN_KERNEL_{k.upper()}")
         if v:
-            cfg[k] = int(v)
+            try:
+                cfg[k] = int(v)
+            except ValueError:
+                pass
     return cfg
 
 
 def write_tuned(cfg: Dict[str, int], path: str = "") -> str:
+    """Atomic write (temp + rename): an interrupted sweep must not leave a
+    truncated file that tuned_kwargs() then silently ignores forever."""
     path = path or TUNED_PATH
-    with open(path, "w") as fp:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fp:
         json.dump({k: int(cfg[k]) for k in _KNOBS if k in cfg}, fp, indent=1)
+    os.replace(tmp, path)
     return path

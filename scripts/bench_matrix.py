@@ -33,14 +33,19 @@ def main(out_path="bench_matrix.json"):
 
     from qcnn_gpu_tpu.models.qvrcnn import make_forward
     from qcnn_gpu_tpu.ops.pallas_pipeline2 import build_pallas_forward2
+    from qcnn_gpu_tpu.ops.tuning import tuned_kwargs
     from qcnn_gpu_tpu.testing import synth_engine_params, synth_frames
 
     p = synth_engine_params(37)
-    report = {"backend": jax.default_backend(), "device_ms_per_frame": {}}
+    report = {
+        "backend": jax.default_backend(),
+        "kernel_config": tuned_kwargs(),  # measure what ships
+        "device_ms_per_frame": {},
+    }
 
     builders = {
         "xla": lambda: make_forward(p, impl="auto"),
-        "pallas2": lambda: build_pallas_forward2(p),
+        "pallas2": lambda: build_pallas_forward2(p, **tuned_kwargs()),
     }
 
     for name, mk in builders.items():

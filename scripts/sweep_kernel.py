@@ -39,6 +39,7 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 from qcnn_gpu_tpu.ops.pallas_pipeline2 import build_pallas_forward2
 from qcnn_gpu_tpu.models import oracle as O
+from qcnn_gpu_tpu.models.qvrcnn import make_forward
 from qcnn_gpu_tpu.testing import synth_engine_params, synth_frames
 
 th, we, wc = {th}, {we}, {wc}
@@ -47,8 +48,13 @@ xs = synth_frames(2, 48, 488, seed=1)
 gold = O.forward_blu(xs, p)
 run = build_pallas_forward2(p, th=th, we=we, wc=wc)
 exact = bool((np.asarray(run(xs)) == gold).all())
+# certify at the TIMED geometry too: tile-remainder handling differs per
+# (h, w) — compare against the independent (oracle-certified) XLA graph
 xb = jax.device_put(synth_frames(4, 1080, 1920, seed=2))
 out = run(xb); out.block_until_ready()
+gold_hd = make_forward(p, impl="auto")(xb)
+exact = exact and bool((np.asarray(out) == np.asarray(gold_hd)).all())
+del gold_hd
 n = 16
 t0 = time.perf_counter()
 for _ in range(n):

@@ -221,3 +221,30 @@ def test_engine_demotes_pallas_failure_to_xla(monkeypatch):
     # subsequent batches go straight to the demoted program (no re-probe)
     rec2 = eng.restore(frames, qp=37)
     assert (rec2 == rec).all()
+
+
+def test_engine_demotes_pallas_build_failure(monkeypatch):
+    """A BUILD-time pallas failure (bad tuned config, Mosaic reject at
+    trace time) must also demote under impl='auto' — it happens outside
+    the call-time try/except, so _program handles it itself."""
+    from qcnn_gpu_tpu.engine import runner as runner_mod
+    from qcnn_gpu_tpu.ops import pallas_pipeline2
+
+    def broken_build(p, **kw):
+        raise RuntimeError("Mosaic: failed to legalize")
+
+    monkeypatch.setattr(runner_mod.jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(pallas_pipeline2, "build_pallas_forward2", broken_build)
+
+    p = synth_engine_params(37)
+    frames = synth_frames(2, 24, 40, seed=6)
+    eng = Engine(impl="auto")
+    eng.set_model(37, p)
+    rec = eng.restore(frames, qp=37)
+    assert (rec == O.forward_blu(frames, p)).all()
+
+    # explicit impl='pallas' must propagate instead
+    eng2 = Engine(impl="pallas")
+    eng2.set_model(37, p)
+    with pytest.raises(RuntimeError, match="legalize"):
+        eng2.restore(frames, qp=37)

@@ -80,3 +80,28 @@ def test_tuned_config_flows_into_kernel_bit_exact(clean_env, tmp_path):
 
 def test_shipping_default_path_is_repo_assets():
     assert tuning.TUNED_PATH.endswith(os.path.join("assets", "tuned_kernel.json"))
+
+
+def test_valid_json_wrong_types_ignored(clean_env, tmp_path):
+    # {"th": null} / non-object top level parse as JSON but are not knobs
+    for payload in ('{"th": null}', "3", '["th"]'):
+        path = str(tmp_path / "t.json")
+        with open(path, "w") as fp:
+            fp.write(payload)
+        clean_env.setenv("QCNN_KERNEL_CONFIG", path)
+        assert tuning.tuned_kwargs() == {}
+
+
+def test_bad_env_value_skipped(clean_env):
+    clean_env.setenv("QCNN_KERNEL_TH", "fast")
+    clean_env.setenv("QCNN_KERNEL_WE", "512")
+    assert tuning.tuned_kwargs() == {"we": 512}
+
+
+def test_use_file_false_keeps_env_only(clean_env, tmp_path):
+    path = str(tmp_path / "tuned.json")
+    tuning.write_tuned({"th": 128}, path)
+    clean_env.setenv("QCNN_KERNEL_CONFIG", path)
+    clean_env.setenv("QCNN_KERNEL_WC", "2")
+    assert tuning.tuned_kwargs(use_file=False) == {"wc": 2}
+    assert tuning.tuned_kwargs() == {"th": 128, "wc": 2}

@@ -15,20 +15,18 @@ import subprocess
 import sys
 
 CONFIGS = [
-    # (th, we, wc) — th=64/we=256/wc=1 is the shipping default; start
-    # from known-good neighbors so early results arrive fast
+    # (th, we, wc) — th=64/we=256/wc=2 is the shipping tuned default.
+    # we>=512 is dropped: measured on hw, those configs either fail to
+    # compile or blow the 900s compile budget (sweep_kernel.jsonl), and
+    # the wider column tile has no model-side advantage over wc chunking.
     (64, 256, 1),
     (64, 256, 2),
     (64, 256, 4),
-    (64, 512, 1),
-    (64, 512, 2),
     (128, 256, 1),
     (128, 256, 2),
-    (128, 512, 1),
     (32, 256, 2),
-    (32, 512, 4),
     (256, 256, 1),
-    (64, 1024, 1),
+    (256, 256, 2),
 ]
 
 CHILD = r"""
@@ -67,6 +65,7 @@ print("RESULT " + json.dumps({{"th": th, "we": we, "wc": wc,
 
 
 def main(out_path="sweep_kernel.jsonl", timeout_s=900):
+    timeout_s = float(timeout_s)  # CLI args arrive as strings
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     done = set()
     if os.path.exists(out_path):

@@ -9,6 +9,7 @@ deep record for optimization work.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -47,6 +48,9 @@ def main(out_path="bench_matrix.json"):
         "xla": lambda: make_forward(p, impl="auto"),
         "pallas2": lambda: build_pallas_forward2(p, **tuned_kwargs()),
     }
+    only = os.environ.get("BENCH_IMPLS")  # e.g. "pallas2" or "xla,pallas2"
+    if only:
+        builders = {k: v for k, v in builders.items() if k in only.split(",")}
 
     for name, mk in builders.items():
         try:

@@ -36,6 +36,7 @@ import numpy as np, jax
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 from qcnn_gpu_tpu.ops.pallas_pipeline2 import build_pallas_forward2
+from qcnn_gpu_tpu.engine.tiled import restore_tiled
 from qcnn_gpu_tpu.models import oracle as O
 from qcnn_gpu_tpu.models.qvrcnn import make_forward
 from qcnn_gpu_tpu.testing import synth_engine_params, synth_frames
@@ -47,10 +48,14 @@ gold = O.forward_blu(xs, p)
 run = build_pallas_forward2(p, th=th, we=we, wc=wc)
 exact = bool((np.asarray(run(xs)) == gold).all())
 # certify at the TIMED geometry too: tile-remainder handling differs per
-# (h, w) — compare against the independent (oracle-certified) XLA graph
-xb = jax.device_put(synth_frames(4, 1080, 1920, seed=2))
+# (h, w). Gold comes from the XLA graph via the HOST-TILED path — this
+# toolchain rejects whole-frame >=1080p XLA compiles (engine/tiled.py
+# exists for exactly that), and tiled==whole-frame is itself tested.
+xb_host = synth_frames(4, 1080, 1920, seed=2)
+xb = jax.device_put(xb_host)
 out = run(xb); out.block_until_ready()
-gold_hd = make_forward(p, impl="auto")(xb)
+xla = make_forward(p, impl="auto")
+gold_hd = restore_tiled(xla, xb_host, 540, 960)
 exact = exact and bool((np.asarray(out) == np.asarray(gold_hd)).all())
 del gold_hd
 n = 16
@@ -86,7 +91,10 @@ def main(out_path="sweep_kernel.jsonl", timeout_s=900):
                 if line.startswith("RESULT "):
                     row = json.loads(line[7:])
             if row is None:
-                tail = (cp.stderr or cp.stdout).strip().splitlines()[-3:]
+                lines = (cp.stderr or cp.stdout).strip().splitlines()
+                # JAX traceback filtering buries the exception; prefer
+                # lines that actually name an error
+                tail = [l for l in lines if "rror" in l][-2:] or lines[-3:]
                 row = {"th": th, "we": we, "wc": wc,
                        "error": " | ".join(tail)[:300]}
         except subprocess.TimeoutExpired:

@@ -18,9 +18,12 @@ from qcnn_gpu_tpu.ops import tuning
 
 
 @pytest.fixture()
-def clean_env(monkeypatch):
-    for k in ("QCNN_KERNEL_CONFIG", "QCNN_KERNEL_TH", "QCNN_KERNEL_WE", "QCNN_KERNEL_WC"):
+def clean_env(monkeypatch, tmp_path):
+    for k in ("QCNN_KERNEL_TH", "QCNN_KERNEL_WE", "QCNN_KERNEL_WC"):
         monkeypatch.delenv(k, raising=False)
+    # isolate from the real assets/tuned_kernel.json (present once a sweep
+    # has run); tests that want a file set QCNN_KERNEL_CONFIG themselves
+    monkeypatch.setenv("QCNN_KERNEL_CONFIG", str(tmp_path / "no_such.json"))
     return monkeypatch
 
 

@@ -184,7 +184,6 @@ def cmd_finetune(args) -> int:
     )
     save_checkpoint(args.ckpt + "_qfp", out, opt_t, step0 + steps)
     if args.model_out:
-        ws, bs = FM.params_to_lists(out)
         ep = quantize_model(out, table)
         write_static_qfp_vect_c(args.model_out, ep)
     print(f"finetuned {steps} steps -> {args.ckpt}_qfp"

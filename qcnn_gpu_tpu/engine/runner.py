@@ -48,7 +48,12 @@ class Engine:
         self.metrics = MetricsLog(out_dir)
         self._models: Dict[int, EngineParams] = {}
         self._programs: Dict[Tuple, object] = {}
+        # build-time kernel failures are geometry-independent (the Mosaic
+        # build rejects the config itself) -> keyed by program key; call-time
+        # failures are scoped per (key, geometry) so a one-off flake on one
+        # frame size never demotes the fast path for every other size
         self._pallas_failed: set = set()
+        self._pallas_failed_geos: set = set()
         self._tiled_geos: set = set()  # (key, (H, W)) that need host tiling
         self.tile = (540, 960)  # divided_run-analog tile for the fallback
 
@@ -61,16 +66,41 @@ class Engine:
             raise FileNotFoundError(f"cannot open model file: {path}")
         reader = {"vect_c": read_static_qfp_vect_c, "hwcn": read_static_qfp_hwcn}[fmt]
         self._models[qp] = reader(path)
+        self.reset_demotions(qp)
 
     def set_model(self, qp: int, params: EngineParams) -> None:
         self._models[qp] = params
+        self.reset_demotions(qp)
 
-    def _program(self, qp: int):
+    def reset_demotions(self, qp: Optional[int] = None) -> None:
+        """Forget pallas->XLA demotions and tiling pins (for the given QP,
+        or all) so transient device/compile flakes can be re-probed —
+        e.g. after a model swap or when a degraded compile helper recovers."""
+
+        def keep(entry) -> bool:
+            k = entry[0] if isinstance(entry[0], tuple) else entry
+            return qp is not None and k[0] != qp
+
+        self._pallas_failed = {e for e in self._pallas_failed if keep(e)}
+        self._pallas_failed_geos = {e for e in self._pallas_failed_geos if keep(e)}
+        self._tiled_geos = {e for e in self._tiled_geos if keep(e)}
+        if qp is None:
+            self._programs.clear()
+        else:
+            self._programs = {
+                k: v for k, v in self._programs.items() if k[0] != qp
+            }
+
+    def _program(self, qp: int, force_xla: bool = False):
         key = (qp, self.impl, id(self.mesh))
+        if force_xla:
+            key = key + ("xla",)
         if key not in self._programs:
             if qp not in self._models:
                 raise KeyError(f"no model loaded for QP{qp}")
-            if self.mesh is not None:
+            if force_xla:
+                self._programs[key] = make_forward(self._models[qp], impl="xla")
+            elif self.mesh is not None:
                 from qcnn_gpu_tpu.parallel.spatial import make_sharded_forward
 
                 self._programs[key] = make_sharded_forward(
@@ -113,9 +143,11 @@ class Engine:
 
     def _run(self, qp: int, frames):
         """Dispatch one batch. Under impl='auto' a Mosaic compile failure
-        (kernel compiles happen at first call, not build) demotes this QP's
-        program to the XLA graph permanently and retries — the same policy
-        as bench.py, so `auto` is always the fastest path that works.
+        (kernel compiles happen at first call, not build) demotes THIS
+        GEOMETRY of this QP's program to the XLA graph and retries — the
+        same policy as bench.py, so `auto` is always the fastest path that
+        works, and a flake at one frame size never costs the fast path at
+        other sizes (reset_demotions re-probes).
         If the whole-frame program itself fails to compile (some remote
         toolchains reject >1080p XLA graphs), the frame is restored via
         the bit-exact host tiling path (engine/tiled.py, the divided_run
@@ -124,17 +156,17 @@ class Engine:
         geo = tuple(frames.shape[-2:])
         if (key, geo) in self._tiled_geos:
             return self._run_tiled(qp, frames)
-        run = self._program(qp)
+        demoted = (key, geo) in self._pallas_failed_geos
+        run = self._program(qp, force_xla=demoted)
         try:
             return run(frames)
         except Exception:
             if (
                 self.impl == "auto"
                 and getattr(run, "impl", "") == "pallas"
-                and key not in self._pallas_failed
+                and not demoted
             ):
-                self._pallas_failed.add(key)
-                self._programs.pop(key, None)
+                self._pallas_failed_geos.add((key, geo))
                 return self._run(qp, frames)
             th, tw = self.tile
             if self.mesh is None and (geo[0] > th or geo[1] > tw):
@@ -153,20 +185,21 @@ class Engine:
     def _run_whole(self, qp: int, frames):
         """Whole-input dispatch with the pallas->xla demotion but without
         the tiling fallback (tile inputs are already small)."""
-        run = self._program(qp)
+        key = (qp, self.impl, id(self.mesh))
+        geo = tuple(frames.shape[-2:])
+        demoted = (key, geo) in self._pallas_failed_geos
+        run = self._program(qp, force_xla=demoted)
         try:
             return run(frames)
         except Exception:
-            key = (qp, self.impl, id(self.mesh))
             if (
                 self.impl != "auto"
                 or getattr(run, "impl", "") != "pallas"
-                or key in self._pallas_failed
+                or demoted
             ):
                 raise
-            self._pallas_failed.add(key)
-            self._programs.pop(key, None)
-            return self._program(qp)(frames)
+            self._pallas_failed_geos.add((key, geo))
+            return self._program(qp, force_xla=True)(frames)
 
     def profile_trace(self, trace_dir: str):
         """Context manager: capture a jax.profiler device trace of whatever

@@ -78,6 +78,8 @@ def restore_tiled(
         for j, (xs, _, _) in enumerate(cols):
             tiles[:, i, j] = frames[:, ys : ys + wh, xs : xs + ww]
     out = np.asarray(run(tiles.reshape(n * len(rows) * len(cols), wh, ww)))
+    if out.dtype != np.uint8:  # fail loudly instead of silently truncating
+        raise TypeError(f"restoration program returned {out.dtype}, expected uint8")
     out = out.reshape(n, len(rows), len(cols), wh, ww)
     result = np.empty((n, h, w), np.uint8)
     for i, (_, yc, yk) in enumerate(rows):

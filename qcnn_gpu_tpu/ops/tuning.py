@@ -39,11 +39,16 @@ def tuned_kwargs(use_file: bool = True) -> Dict[str, int]:
             try:
                 with open(path) as fp:
                     data = json.load(fp)
+            except (ValueError, OSError):
+                data = None
+            if isinstance(data, dict):
                 for k in _KNOBS:
-                    if isinstance(data, dict) and k in data:
-                        cfg[k] = int(data[k])
-            except (ValueError, TypeError, KeyError, OSError):
-                cfg.clear()
+                    if k in data:
+                        try:
+                            cfg[k] = int(data[k])
+                        except (ValueError, TypeError):
+                            pass  # per-knob skip: one bad value must not
+                            # drop the valid knobs with it
     for k in _KNOBS:
         v = os.environ.get(f"QCNN_KERNEL_{k.upper()}")
         if v:

@@ -76,7 +76,12 @@ def main(out_path="sweep_kernel.jsonl", timeout_s=900):
     if os.path.exists(out_path):
         for line in open(out_path):
             r = json.loads(line)
-            done.add((r["th"], r["we"], r["wc"]))
+            # only MEASURED rows count as done: error rows (infra flakes,
+            # compile-helper timeouts) are retried on resume so the sweep
+            # optimum never silently excludes a viable config. Set
+            # SWEEP_SKIP_ERRORS=1 to treat error rows as final.
+            if "ms_per_frame" in r or os.environ.get("SWEEP_SKIP_ERRORS") == "1":
+                done.add((r["th"], r["we"], r["wc"]))
     for th, we, wc in CONFIGS:
         if (th, we, wc) in done:
             continue

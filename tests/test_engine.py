@@ -190,16 +190,21 @@ def test_engine_tiled_fallback_bit_exact(tmp_path):
 
 def test_engine_demotes_pallas_failure_to_xla(monkeypatch):
     """impl='auto' policy: a Mosaic compile failure at first call (not at
-    build — kernels compile lazily) permanently demotes that QP's program
-    to the XLA graph and retries, so `auto` is always the fastest path
-    that works (runner.py:103-132)."""
+    build — kernels compile lazily) demotes that (QP, geometry) to the XLA
+    graph and retries, so `auto` is always the fastest path that works —
+    while OTHER geometries keep the fast path (a one-off flake on a 4K
+    batch must not cost Pallas for every later 1080p batch), and
+    reset_demotions() re-probes after e.g. a compile-helper recovery."""
     import jax
 
     from qcnn_gpu_tpu.engine import runner as runner_mod
     from qcnn_gpu_tpu.ops import pallas_pipeline2
 
-    def broken_build(p, **kw):
+    calls = []
+
+    def flaky_build(p, **kw):
         def run(frames):
+            calls.append(tuple(frames.shape[-2:]))
             raise RuntimeError("tpu_compile_helper subprocess exit code 1")
 
         run.impl = "pallas"
@@ -207,7 +212,7 @@ def test_engine_demotes_pallas_failure_to_xla(monkeypatch):
 
     # make the runner take the pallas branch even on the CPU test machine
     monkeypatch.setattr(runner_mod.jax, "default_backend", lambda: "tpu")
-    monkeypatch.setattr(pallas_pipeline2, "build_pallas_forward2", broken_build)
+    monkeypatch.setattr(pallas_pipeline2, "build_pallas_forward2", flaky_build)
 
     p = synth_engine_params(37)
     frames = synth_frames(2, 24, 40, seed=5)
@@ -216,11 +221,23 @@ def test_engine_demotes_pallas_failure_to_xla(monkeypatch):
     rec = eng.restore(frames, qp=37)
     assert (rec == O.forward_blu(frames, p)).all()
     key = (37, "auto", id(None))
-    assert key in eng._pallas_failed
-    assert getattr(eng._programs[key], "impl", "") != "pallas"
-    # subsequent batches go straight to the demoted program (no re-probe)
+    assert (key, (24, 40)) in eng._pallas_failed_geos
+    # subsequent batches at this geometry go straight to XLA (no re-probe)
+    n_calls = len(calls)
     rec2 = eng.restore(frames, qp=37)
     assert (rec2 == rec).all()
+    assert len(calls) == n_calls
+    # a DIFFERENT geometry re-probes the pallas path (and demotes itself)
+    frames2 = synth_frames(2, 32, 48, seed=7)
+    rec3 = eng.restore(frames2, qp=37)
+    assert (rec3 == O.forward_blu(frames2, p)).all()
+    assert len(calls) == n_calls + 1
+    assert (key, (32, 48)) in eng._pallas_failed_geos
+    # reset clears the demotions so the next call probes pallas again
+    eng.reset_demotions(37)
+    assert not eng._pallas_failed_geos
+    eng.restore(frames, qp=37)
+    assert len(calls) == n_calls + 2
 
 
 def test_engine_demotes_pallas_build_failure(monkeypatch):

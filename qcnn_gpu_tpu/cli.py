@@ -74,19 +74,45 @@ def cmd_sweep(args) -> int:
     return 0
 
 
+CONVERT_FORMATS = {
+    # family -> {format: (reader, writer)}; conversion is legal within a
+    # family (the reference's model_* converters, qvrcnn.cu:398-585:
+    # static qfp, dynamic, and float each travel in their own pair of
+    # layouts — HWCN training-side, NCHW[_VECT_C] engine-side)
+    "static": {
+        "hwcn": ("read_static_qfp_hwcn", "write_static_qfp_hwcn"),
+        "vect_c": ("read_static_qfp_vect_c", "write_static_qfp_vect_c"),
+    },
+    "dynamic": {
+        "dyn_hwcn": ("read_dynamic_hwcn", "write_dynamic_hwcn"),
+        "dyn_vect_c": ("read_dynamic_vect_c", "write_dynamic_vect_c"),
+    },
+    "float": {
+        "float_hwcn": ("read_float_hwcn", "write_float_hwcn"),
+        "float_nchw": ("read_float_nchw", "write_float_nchw"),
+    },
+}
+_ALL_FORMATS = [f for fam in CONVERT_FORMATS.values() for f in fam]
+
+
 def cmd_convert(args) -> int:
     from qcnn_gpu_tpu.data import model_files as MF
 
-    readers = {
-        "hwcn": MF.read_static_qfp_hwcn,
-        "vect_c": MF.read_static_qfp_vect_c,
-    }
-    writers = {
-        "hwcn": MF.write_static_qfp_hwcn,
-        "vect_c": MF.write_static_qfp_vect_c,
-    }
-    params = readers[args.informat](args.infile)
-    writers[args.outformat](args.outfile, params)
+    fam_in = next(f for f, d in CONVERT_FORMATS.items() if args.informat in d)
+    fam_out = next(f for f, d in CONVERT_FORMATS.items() if args.outformat in d)
+    if fam_in != fam_out:
+        print(
+            f"error: cannot convert {args.informat} ({fam_in} family) to "
+            f"{args.outformat} ({fam_out} family); pick formats from one family"
+        )
+        return 2
+    reader = getattr(MF, CONVERT_FORMATS[fam_in][args.informat][0])
+    writer = getattr(MF, CONVERT_FORMATS[fam_out][args.outformat][1])
+    params = reader(args.infile)
+    if fam_in == "float":  # float readers return (weights, biases)
+        writer(args.outfile, *params)
+    else:
+        writer(args.outfile, params)
     print(f"converted {args.infile} ({args.informat}) -> {args.outfile} ({args.outformat})")
     return 0
 
@@ -312,9 +338,9 @@ def build_parser() -> argparse.ArgumentParser:
 
     p = sub.add_parser("convert", help="model file format conversion")
     p.add_argument("--infile", required=True)
-    p.add_argument("--informat", required=True, choices=["hwcn", "vect_c"])
+    p.add_argument("--informat", required=True, choices=_ALL_FORMATS)
     p.add_argument("--outfile", required=True)
-    p.add_argument("--outformat", required=True, choices=["hwcn", "vect_c"])
+    p.add_argument("--outformat", required=True, choices=_ALL_FORMATS)
     p.set_defaults(fn=cmd_convert)
 
     p = sub.add_parser("train", help="float training")

@@ -204,6 +204,45 @@ def write_dynamic_hwcn(path: PathOrIO, p: DynamicParams) -> None:
             fp.close()
 
 
+def read_dynamic_vect_c(path: PathOrIO) -> DynamicParams:
+    """Engine-side dynamic NCHW_VECT_C file: per layer [stepw i32]
+    [w int8 k*k*ceil4(cin)*cout NCHW_VECT_C][b i32*cout] — written by
+    layer_HWCN2NCHW_VECT_C (qvrcnn.cu:398-414: the leading int travels
+    ahead of the converted weights) and read back by the INT8x4 engine's
+    load_para (cnn.cu:69-89, whose built wSize is the VECT_C-padded one)."""
+    fp, close = _open(path, "rb")
+    try:
+        steps, ws, bs = [], [], []
+        for layer in QVRCNN_LAYERS:
+            k, cin, cout = layer.ksize, layer.in_ch, layer.out_ch
+            (stepw,) = struct.unpack("<i", fp.read(4))
+            nbytes = k * k * _ceil4(cin) * cout
+            v = np.frombuffer(fp.read(nbytes), dtype=np.int8).reshape(
+                cout, _ceil4(cin) // 4, k, k, 4
+            )
+            b = np.frombuffer(fp.read(4 * cout), dtype="<i4").astype(np.int32)
+            steps.append(stepw)
+            ws.append(nchw_vect_c_to_hwcn(v, cin))
+            bs.append(b)
+        return DynamicParams(steps, ws, bs)
+    finally:
+        if close:
+            fp.close()
+
+
+def write_dynamic_vect_c(path: PathOrIO, p: DynamicParams) -> None:
+    fp, close = _open(path, "wb")
+    try:
+        for i in range(6):
+            fp.write(struct.pack("<i", p.step_w[i]))
+            v = hwcn_to_nchw_vect_c(np.asarray(p.weights[i], dtype=np.int8))
+            fp.write(np.ascontiguousarray(v).tobytes())
+            fp.write(np.asarray(p.biases[i], dtype="<i4").tobytes())
+    finally:
+        if close:
+            fp.close()
+
+
 # ---------------------------------------------------------------------------
 # Float formats (TF dump — model.py:318-340; plain float engine files)
 # ---------------------------------------------------------------------------
@@ -233,6 +272,42 @@ def write_float_hwcn(path: PathOrIO, weights, biases) -> None:
     try:
         for w, b in zip(weights, biases):
             fp.write(np.asarray(w, dtype="<f4").tobytes())
+            fp.write(np.asarray(b, dtype="<f4").tobytes())
+    finally:
+        if close:
+            fp.close()
+
+
+def read_float_nchw(path: PathOrIO) -> Tuple[List[np.ndarray], List[np.ndarray]]:
+    """Plain float NCHW engine file: per layer [w f32 NCHW][b f32*cout]
+    (the FLOAT_CONFIG engine's load_para, cnn.cu:113-128; produced by
+    model_HWCN2NCHW, qvrcnn.cu:444-463). Returned in HWCN/HWIO."""
+    fp, close = _open(path, "rb")
+    try:
+        ws, bs = [], []
+        for layer in QVRCNN_LAYERS:
+            k, cin, cout = layer.ksize, layer.in_ch, layer.out_ch
+            w = np.frombuffer(fp.read(4 * k * k * cin * cout), dtype="<f4").reshape(
+                cout, cin, k, k
+            )
+            b = np.frombuffer(fp.read(4 * cout), dtype="<f4").astype(np.float32)
+            ws.append(nchw_to_hwcn(w.astype(np.float32)))
+            bs.append(b)
+        return ws, bs
+    finally:
+        if close:
+            fp.close()
+
+
+def write_float_nchw(path: PathOrIO, weights, biases) -> None:
+    fp, close = _open(path, "wb")
+    try:
+        for w, b in zip(weights, biases):
+            fp.write(
+                np.ascontiguousarray(
+                    hwcn_to_nchw(np.asarray(w, dtype="<f4"))
+                ).tobytes()
+            )
             fp.write(np.asarray(b, dtype="<f4").tobytes())
     finally:
         if close:

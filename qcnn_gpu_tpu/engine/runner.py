@@ -214,23 +214,21 @@ class Engine:
         """uint8 [N, H, W] -> restored uint8 [N, H, W] (blocking)."""
         return np.asarray(self._run(qp, frames))
 
-    def restore_stream(self, frames: np.ndarray, qp: int) -> np.ndarray:
-        """Batched streaming restore: device transfer of batch i+1 is
-        issued while batch i computes."""
+    def restore_stream(self, frames: np.ndarray, qp: int, depth: int = 3) -> np.ndarray:
+        """Pipelined streaming restore: `depth` batches in flight, with
+        H2D of batch i+2, compute of batch i+1, and D2H of batch i all
+        overlapped (engine/stream.py)."""
+        from qcnn_gpu_tpu.engine.stream import pipeline_restore
+
         n = frames.shape[0]
         bs = self.batch_frames
-        outs: List = []
-        pending = None
         device = jax.devices()[0] if self.mesh is None else None
-        for i in range(0, n, bs):
-            chunk = frames[i : i + bs]
-            staged = jax.device_put(chunk, device) if device is not None else chunk
-            out = self._run(qp, staged)  # async dispatch
-            if pending is not None:
-                outs.append(np.asarray(pending))  # blocks on previous batch
-            pending = out
-        if pending is not None:
-            outs.append(np.asarray(pending))
+        outs = pipeline_restore(
+            lambda x: self._run(qp, x),
+            (frames[i : i + bs] for i in range(0, n, bs)),
+            depth=depth,
+            device=device,
+        )
         return np.concatenate(outs, axis=0)
 
     def warmup(self, qp: int, height: int, width: int) -> None:

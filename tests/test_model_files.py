@@ -54,6 +54,84 @@ def test_dynamic_roundtrip(tmp_path):
         assert (q.biases[i] == p.biases[i]).all()
 
 
+def test_dynamic_vect_c_roundtrip_and_size(tmp_path):
+    """Engine-side dynamic file (qvrcnn.cu:398-414): per layer
+    [stepw i32][w int8 NCHW_VECT_C][b i32*cout] — roundtrip plus the
+    INT8x4 engine's wSize contract (k*k*ceil4(cin)*cout, cnn.cu:24)."""
+    import os
+
+    p = synth_dynamic_params(27)
+    path = str(tmp_path / "m.dynvc")
+    MF.write_dynamic_vect_c(path, p)
+    q = MF.read_dynamic_vect_c(path)
+    assert q.step_w == p.step_w
+    for i in range(6):
+        assert (q.weights[i] == p.weights[i]).all()
+        assert (q.biases[i] == p.biases[i]).all()
+    expected = 0
+    for (k, cin, cout) in ((5, 1, 64), (3, 64, 32), (5, 64, 16), (3, 48, 16), (1, 48, 32), (3, 48, 1)):
+        cin4 = (cin + 3) // 4 * 4
+        expected += 4 + k * k * cin4 * cout + 4 * cout
+    assert os.path.getsize(path) == expected
+
+
+def test_float_nchw_roundtrip_and_size(tmp_path):
+    """Plain float NCHW engine file (cnn.cu:113-128): per layer
+    [w f32 NCHW][b f32*cout], no channel padding under FLOAT_CONFIG."""
+    import os
+
+    ws, bs = synth_float_weights(5)
+    path = str(tmp_path / "m.fnchw")
+    MF.write_float_nchw(path, ws, bs)
+    ws2, bs2 = MF.read_float_nchw(path)
+    for a, b in zip(ws, ws2):
+        assert (a == b).all()
+    for a, b in zip(bs, bs2):
+        assert (a == b).all()
+    expected = 0
+    for (k, cin, cout) in ((5, 1, 64), (3, 64, 32), (5, 64, 16), (3, 48, 16), (1, 48, 32), (3, 48, 1)):
+        expected += 4 * (k * k * cin * cout + cout)
+    assert os.path.getsize(path) == expected
+
+
+def test_cli_convert_all_families(tmp_path):
+    """cli convert handles all five on-disk formats, within-family."""
+    from qcnn_gpu_tpu.cli import main as cli_main
+
+    p = synth_engine_params(37)
+    src = str(tmp_path / "m.hwcn")
+    dst = str(tmp_path / "m.vectc")
+    MF.write_static_qfp_hwcn(src, p)
+    assert cli_main(["convert", "--infile", src, "--informat", "hwcn",
+                     "--outfile", dst, "--outformat", "vect_c"]) == 0
+    _assert_engine_equal(MF.read_static_qfp_vect_c(dst), p)
+
+    d = synth_dynamic_params(22)
+    src = str(tmp_path / "m.dyn")
+    dst = str(tmp_path / "m.dynvc")
+    MF.write_dynamic_hwcn(src, d)
+    assert cli_main(["convert", "--infile", src, "--informat", "dyn_hwcn",
+                     "--outfile", dst, "--outformat", "dyn_vect_c"]) == 0
+    d2 = MF.read_dynamic_vect_c(dst)
+    assert d2.step_w == d.step_w
+    for i in range(6):
+        assert (d2.weights[i] == d.weights[i]).all()
+
+    ws, bs = synth_float_weights(7)
+    src = str(tmp_path / "m.fhwcn")
+    dst = str(tmp_path / "m.fnchw")
+    MF.write_float_hwcn(src, ws, bs)
+    assert cli_main(["convert", "--infile", src, "--informat", "float_hwcn",
+                     "--outfile", dst, "--outformat", "float_nchw"]) == 0
+    ws2, _ = MF.read_float_nchw(dst)
+    for a, b in zip(ws, ws2):
+        assert (a == b).all()
+
+    # cross-family conversion is rejected with a clean error code
+    assert cli_main(["convert", "--infile", src, "--informat", "float_hwcn",
+                     "--outfile", dst, "--outformat", "vect_c"]) == 2
+
+
 def test_float_roundtrip(tmp_path):
     ws, bs = synth_float_weights(3)
     path = str(tmp_path / "m.float")

@@ -268,14 +268,35 @@ def cmd_validate(args) -> int:
 
 def cmd_calibrate_dynamic(args) -> int:
     """Run the dynamic-quantization path on device, recording max_u
-    telemetry (the save_steps flow, qvrcnn.cu:70-81,163)."""
-    import numpy as np
+    telemetry (the save_steps flow, qvrcnn.cu:70-81,163). --mode hybrid
+    runs the committed hybrid forward() instead (qvrcnn.cu:82-167: static
+    C1 mul_shift with int8 wrap, BLU concats, hardcoded 141/16 output).
+    --b-adj-out appends per-frame adjusted-bias telemetry
+    (save_b_adj analog, qvrcnn.cu:288-304; dynamic mode only)."""
+    import struct
 
     from qcnn_gpu_tpu.data import model_files, yuv
+
+    frames = yuv.read_y(args.anchor, args.height, args.width, args.frames)
+
+    if args.mode == "hybrid":
+        from qcnn_gpu_tpu.models.qvrcnn_dynamic import make_hybrid_forward
+
+        ep = model_files.read_static_qfp_hwcn(args.model)
+        run = make_hybrid_forward(ep)
+        max_c1 = 0
+        for i in range(frames.shape[0]):
+            _, max_u = run(frames[i : i + 1])
+            max_c1 = max(max_c1, int(max_u))
+            with open(args.out, "ab") as fp:
+                fp.write(struct.pack("<i", int(max_u)))  # max_u_C1.data format
+        print("hybrid max_u_C1:", max_c1, "->", args.out)
+        return 0
+
+    from qcnn_gpu_tpu.engine.calibrate import save_b_adj
     from qcnn_gpu_tpu.models.qvrcnn_dynamic import make_dynamic_forward
 
     p = model_files.read_dynamic_hwcn(args.model)
-    frames = yuv.read_y(args.anchor, args.height, args.width, args.frames)
     run = make_dynamic_forward(p)
     maxima = [0, 0, 0]
     for i in range(frames.shape[0]):
@@ -287,9 +308,9 @@ def cmd_calibrate_dynamic(args) -> int:
         ]
         maxima = [max(a, b) for a, b in zip(maxima, groups)]
         with open(args.out, "ab") as fp:
-            import struct
-
             fp.write(struct.pack("<i", groups[0]))  # max_u_C1.data format
+        if args.b_adj_out:
+            save_b_adj(args.b_adj_out, [v for v in tel["b_adj"]])
     print("per-group max_u:", maxima, "->", args.out)
     return 0
 
@@ -408,10 +429,12 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser(
         "calibrate-dynamic", help="dynamic-path max_u telemetry (save_steps analog)"
     )
-    p.add_argument("--model", required=True, help="dynamic-format model file")
+    p.add_argument("--model", required=True, help="dynamic-format model file (static qfp for --mode hybrid)")
     p.add_argument("--anchor", required=True)
     _add_geometry(p)
     p.add_argument("--out", default="max_u_C1.data")
+    p.add_argument("--mode", choices=["dynamic", "hybrid"], default="dynamic")
+    p.add_argument("--b-adj-out", default=None, help="append save_b_adj telemetry here")
     p.set_defaults(fn=cmd_calibrate_dynamic)
 
     p = sub.add_parser("bench", help="headline benchmark")

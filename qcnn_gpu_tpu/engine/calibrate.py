@@ -61,6 +61,34 @@ def quantize_model(params: FM.Params, table: QuantTable, wbits: int = 8) -> Engi
     )
 
 
+def save_b_adj(path: str, b_adj: Sequence[np.ndarray]) -> None:
+    """Append the six adjusted bias vectors to a binary telemetry file —
+    the save_b_adj dump (qvrcnn.cu:288-304): fwrite of each layer's b_adj
+    in order C1, C2_1, C2_2, C3_1, C3_2, C4 as btype (= float under the
+    active INT8x4 config, mat.cuh:65), little-endian float32 here."""
+    assert len(b_adj) == 6, "expected 6 layers of b_adj"
+    with open(path, "ab") as fp:
+        for b in b_adj:
+            fp.write(np.asarray(b, dtype="<f4").tobytes())
+
+
+def read_b_adj(path: str) -> List[List[np.ndarray]]:
+    """Read back a save_b_adj telemetry file: list of per-call records,
+    each the six b_adj vectors (64, 32, 16, 16, 32, 1 channels)."""
+    raw = np.fromfile(path, dtype="<f4")
+    sizes = [64, 32, 16, 16, 32, 1]
+    per_call = sum(sizes)
+    assert raw.size % per_call == 0, f"corrupt b_adj file: {raw.size} floats"
+    records = []
+    for off in range(0, raw.size, per_call):
+        rec, pos = [], off
+        for s in sizes:
+            rec.append(raw[pos : pos + s].copy())
+            pos += s
+        records.append(rec)
+    return records
+
+
 def calibrate_dynamic(
     p: DynamicParams, frames: np.ndarray
 ) -> Tuple[List[int], List[dict]]:

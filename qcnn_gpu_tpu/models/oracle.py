@@ -331,10 +331,11 @@ def forward_calibrate(x_uint8: np.ndarray, p: DynamicParams):
         x_uint8 = x_uint8[..., None]
     x = preprocess(x_uint8)
     steps = StepState()
-    telemetry = {"max_u": [], "step_y": []}
+    telemetry = {"max_u": [], "step_y": [], "b_adj": [None] * 6}
 
     def layer(idx, xin, n_prior):
         b_adj = adjust_basic(p.biases[idx], steps, n_prior)
+        telemetry["b_adj"][idx] = b_adj  # save_b_adj analog (qvrcnn.cu:288-304)
         return conv_int(xin, p.weights[idx], b_adj)
 
     # layer 1

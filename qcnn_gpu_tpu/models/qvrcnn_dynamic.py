@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from qcnn_gpu_tpu.models.oracle import DynamicParams
+from qcnn_gpu_tpu.models.oracle import DynamicParams, EngineParams
 
 THRESHOLD = 127
 
@@ -148,10 +148,88 @@ def make_dynamic_forward(p: DynamicParams):
         telemetry = {
             "max_u": (max1, (m2_1, m2_2), (m3_1, m3_2)),
             "step_y": (sy1, (sy2_1, sy2_2), (sy3_1, sy3_2)),
+            # save_b_adj analog (qvrcnn.cu:288-304): the adjusted biases each
+            # conv actually added this frame, in reference dump order
+            # C1, C2_1, C2_2, C3_1, C3_2, C4. C1's bias is never walked
+            # (adjustBasic with layer-1 = 0 is the identity).
+            "b_adj": (b[0], b2_1, b2_2, b3_1, b3_2, b4),
         }
         return rec, telemetry
 
     # trace/compile lazily under a local x64 scope (see module docstring)
+    cache = {}
+
+    def run(x_uint8):
+        import numpy as _np
+
+        key = tuple(_np.shape(x_uint8))
+        if key not in cache:
+            with jax.enable_x64(True):
+                cache[key] = jax.jit(_impl).lower(x_uint8).compile()
+        return cache[key](x_uint8)
+
+    return run
+
+
+def make_hybrid_forward(p: EngineParams):
+    """Device twin of the committed hybrid `forward()` (qvrcnn.cu:82-167):
+
+      * C1 requant is `quantize_out_static` -> the `mul_shift` kernel
+        (mat.cu:248-261): PRE-multiply rounding bias, NO BLU clamp, and the
+        result is stored straight into an int8 buffer — it WRAPS.
+      * Both concats use the static fused BLU requant (concat_blu).
+      * The final rescale is `adjustOutput_static` with the hardcoded
+        (mul=141, shift=16) (qvrcnn.cu:157), also stored through int8.
+
+    Bit-exact twin of `oracle.forward_dynamic_hybrid` (tested). The requant
+    products can exceed int32 without the BLU clamp, so the arithmetic runs
+    in int64 under a local x64 scope, like the calibrate path — this is a
+    parity/calibration mode, not the hot path.
+
+    Returns fn(uint8 [N,H,W]) -> (rec uint8 [N,H,W], max_u_c1 int64 scalar).
+    max_u telemetry is what `save_steps` recorded per frame on this path
+    (qvrcnn.cu:163).
+    """
+    p.validate()
+    weights = [jnp.asarray(w, dtype=jnp.int8) for w in p.weights]
+    biases_np = list(p.biases)
+    mul = [int(v) for v in p.mul]
+    shift = [int(v) for v in p.shift]
+    blu_q = [int(v) for v in p.blu_q]
+
+    def _blu_requant64(u, i):
+        bias = (1 << (shift[i] - 1)) // mul[i]
+        mid = ((u + bias) * mul[i]) >> shift[i]
+        return jnp.where(u > blu_q[i], THRESHOLD, jnp.where(u < 0, 0, mid))
+
+    def _impl(x_uint8):
+        b = [jnp.asarray(x, dtype=jnp.int64) for x in biases_np]
+        x = x_uint8[..., None].astype(jnp.int32) - 128
+
+        u1 = _conv(x, weights[0], b[0].astype(jnp.int32)).astype(jnp.int64)
+        max_u_c1 = jnp.max(jnp.abs(u1))
+        bias0 = (1 << (shift[0] - 1)) // mul[0]
+        v1 = (((u1 + bias0) * mul[0]) >> shift[0]).astype(jnp.int8)
+
+        def stage(vin, i1, i2):
+            u_a = jnp.maximum(_conv(vin, weights[i1], b[i1].astype(jnp.int32)), 0)
+            u_b = jnp.maximum(_conv(vin, weights[i2], b[i2].astype(jnp.int32)), 0)
+            return jnp.concatenate(
+                [
+                    _blu_requant64(u_a.astype(jnp.int64), i1),
+                    _blu_requant64(u_b.astype(jnp.int64), i2),
+                ],
+                -1,
+            ).astype(jnp.int8)
+
+        conc1 = stage(v1.astype(jnp.int32), 1, 2)
+        conc2 = stage(conc1.astype(jnp.int32), 3, 4)
+        u4 = _conv(conc2.astype(jnp.int32), weights[5], b[5].astype(jnp.int32))
+        u4 = u4[..., 0].astype(jnp.int64)
+        res = ((u4 * 141 + (1 << 15)) >> 16).astype(jnp.int8).astype(jnp.int32)
+        rec = jnp.clip(x_uint8.astype(jnp.int32) + res, 0, 255).astype(jnp.uint8)
+        return rec, max_u_c1
+
     cache = {}
 
     def run(x_uint8):

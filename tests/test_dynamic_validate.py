@@ -29,6 +29,44 @@ def test_dynamic_jax_bit_exact_and_telemetry():
         assert tuple(int(v) for v in tel["max_u"][2]) == wtel["max_u"][2]
 
 
+def test_dynamic_b_adj_telemetry_matches_oracle(tmp_path):
+    """save_b_adj analog: device b_adj telemetry == oracle's adjusted
+    biases, and the binary writer/reader roundtrips (qvrcnn.cu:288-304)."""
+    from qcnn_gpu_tpu.engine.calibrate import read_b_adj, save_b_adj
+
+    p = synth_dynamic_params(32)
+    run = make_dynamic_forward(p)
+    x = synth_frames(1, 40, 48, seed=5)
+    _, tel = run(x)
+    _, wtel = O.forward_calibrate(x, p)
+    for dev, want in zip(tel["b_adj"], wtel["b_adj"]):
+        assert (np.asarray(dev, dtype=np.int64) == want).all()
+    path = str(tmp_path / "b_adj.data")
+    save_b_adj(path, [np.asarray(v) for v in tel["b_adj"]])
+    save_b_adj(path, [np.asarray(v) for v in tel["b_adj"]])  # append mode
+    records = read_b_adj(path)
+    assert len(records) == 2
+    for rec, want in zip(records[1], wtel["b_adj"]):
+        assert (rec == want.astype(np.float32)).all()
+
+
+def test_hybrid_device_twin_bit_exact():
+    """Device twin of the committed hybrid forward() (qvrcnn.cu:82-167)
+    == oracle.forward_dynamic_hybrid, including the int8 wraps."""
+    from qcnn_gpu_tpu.models.qvrcnn_dynamic import make_hybrid_forward
+
+    p = synth_engine_params(22)
+    run = make_hybrid_forward(p)
+    for seed in (1, 4):
+        x = synth_frames(2, 40, 48, seed=seed)
+        rec, max_u = run(x)
+        want = O.forward_dynamic_hybrid(x, p)
+        assert (np.asarray(rec) == want).all()
+        # max_u telemetry = abs-max of the C1 accumulator (save_steps analog)
+        u1 = O.conv_int(O.preprocess(x[..., None]), p.weights[0], p.biases[0])
+        assert int(max_u) == int(np.max(np.abs(u1)))
+
+
 def test_conv_validation_close_for_consistent_model():
     """Quantizing a float model with its own table: the float-scaled
     accumulators must track the engine accumulators to within accumulated

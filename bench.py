@@ -97,30 +97,38 @@ def main():
     frames = synth_frames(BATCH, H, W, seed=1)
     xd = jax.device_put(frames)
 
-    # fastest path first: the frame-pair-packed fused Pallas pipeline;
-    # fall back to the XLA graph if the kernel compile service flakes
+    # fastest path first: the width-packed fused Pallas pipeline (v3),
+    # then the frame-pair kernel (v2), then the XLA graph — each candidate
+    # must pass the on-hardware exactness gate before it may be timed
     run = None
     exact = None
-    if IMPL in ("auto", "pallas2"):
-        try:
-            from qcnn_gpu_tpu.ops.pallas_pipeline2 import build_pallas_forward2
-            from qcnn_gpu_tpu.ops.tuning import tuned_kwargs
+    candidates = []
+    if IMPL in ("auto", "pallas3", "pallas2"):
+        from qcnn_gpu_tpu.ops.tuning import build_tuned
 
-            run = build_pallas_forward2(p, **tuned_kwargs())
+        if IMPL != "pallas2":
+            candidates.append(("pallas3", lambda: build_tuned(p, kernel=3)))
+        if IMPL != "pallas3":
+            candidates.append(("pallas2", lambda: build_tuned(p, kernel=2)))
+    for name, builder in candidates:
+        try:
+            run = builder()
             out = run(xd)
             out.block_until_ready()
-            run.impl = "pallas2"
+            run.impl = name
         except Exception:
             run = None
-    if run is not None:
+            continue
         try:
             exact = check_exact(run, frames, p)
         except Exception as e:  # infra failure of the CHECK, not the kernel
             exact = f"check-error: {type(e).__name__}"
         if exact is False:  # wrong numbers: never time a broken kernel
             run = None
+            continue
+        break
     if run is None:
-        run = make_forward(p, impl="auto" if IMPL == "pallas2" else IMPL)
+        run = make_forward(p, impl="auto" if IMPL.startswith("pallas") else IMPL)
         out = run(xd)
         out.block_until_ready()
         run.impl = getattr(run, "impl", IMPL)
@@ -140,8 +148,8 @@ def main():
 
     h2d_mbps, d2h_mbps = measure_link(jax, frames)
     slow_link = min(h2d_mbps, d2h_mbps) < 30.0
-    n_batches = 2 if slow_link else 8
-    n_windows = 1 if slow_link else HOST_WINDOWS
+    n_batches = 3 if slow_link else 8
+    n_windows = 2 if slow_link else HOST_WINDOWS
     rng = np.random.default_rng(7)
     pool = [
         np.clip(
@@ -151,15 +159,22 @@ def main():
         ).astype(np.uint8)
         for _ in range(n_batches)
     ]
+    # untimed warmup of the exact streaming path (device=None keeps the
+    # placement UNCOMMITTED and therefore on the already-compiled program;
+    # a committed device_put would recompile inside the timed window)
+    measure_stream_fps(run, pool[:1], depth=DEPTH)
     windows = []
     t_host0 = time.perf_counter()
     for _ in range(n_windows):
-        windows.append(
-            round(measure_stream_fps(run, pool, depth=DEPTH, device=jax.devices()[0]), 2)
-        )
+        windows.append(round(measure_stream_fps(run, pool, depth=DEPTH), 2))
         if time.perf_counter() - t_host0 > HOST_BUDGET_S:
             break
     fps_host = max(windows)
+    # the tunnel's duplex-serialized physical cap for this frame geometry:
+    # measured fps_host should sit near it when the link (not the chip)
+    # is the binding constraint — that is what makes the number falsifiable
+    fb = frames.nbytes / BATCH
+    link_cap_fps = 1.0 / (fb / (h2d_mbps * 1e6) + fb / (d2h_mbps * 1e6))
 
     print(
         json.dumps(
@@ -180,6 +195,7 @@ def main():
                     "stream_depth": DEPTH,
                     "h2d_mbps": h2d_mbps,
                     "d2h_mbps": d2h_mbps,
+                    "link_duplex_cap_fps": round(link_cap_fps, 2),
                     "link_note": "dev TPU behind a network tunnel; 23.6fps needs ~100MB/s agg",
                     "backend": jax.default_backend(),
                     "baseline_fps": BASELINE_FPS,

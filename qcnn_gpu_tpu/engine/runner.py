@@ -111,8 +111,7 @@ class Engine:
                 and jax.default_backend() != "cpu"
                 and key not in self._pallas_failed
             ):
-                from qcnn_gpu_tpu.ops.pallas_pipeline2 import build_pallas_forward2
-                from qcnn_gpu_tpu.ops.tuning import tuned_kwargs
+                from qcnn_gpu_tpu.ops.tuning import build_tuned, tuned_kwargs
 
                 # Mosaic kernels need a TPU; fall back to the Pallas
                 # interpreter on CPU (slow but bit-identical) with a small
@@ -120,11 +119,12 @@ class Engine:
                 # path (env QCNN_KERNEL_* still overrides; the hardware-
                 # tuned FILE is skipped — its tile targets the TPU).
                 interpret = jax.default_backend() == "cpu"
-                kw = {"th": 8, **tuned_kwargs(use_file=False)} if interpret else tuned_kwargs()
+                kw = {"th": 8, **tuned_kwargs(use_file=False)} if interpret else {}
                 try:
-                    run = build_pallas_forward2(
+                    run = build_tuned(
                         self._models[qp],
                         interpret=interpret,
+                        use_file=not interpret,
                         **kw,
                     )
                 except Exception:
@@ -222,12 +222,14 @@ class Engine:
 
         n = frames.shape[0]
         bs = self.batch_frames
-        device = jax.devices()[0] if self.mesh is None else None
+        # device=None -> uncommitted placement, matching warmup()/restore()
+        # numpy-input dispatch: a committed device_put here would key a
+        # SECOND compile of the same program inside the streaming loop
         outs = pipeline_restore(
             lambda x: self._run(qp, x),
             (frames[i : i + bs] for i in range(0, n, bs)),
             depth=depth,
-            device=device,
+            device=None,
         )
         return np.concatenate(outs, axis=0)
 

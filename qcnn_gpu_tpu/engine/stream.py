@@ -70,7 +70,12 @@ def pipeline_restore(
         for x in batches:
             if err:
                 break
-            staged = jax.device_put(x, device) if device is not None else x
+            # UNCOMMITTED placement (no explicit device): committed arrays
+            # change the jit dispatch key vs the numpy-input warmup path and
+            # force a recompile INSIDE the streaming loop — measured at
+            # minutes through the remote Mosaic compile helper. An explicit
+            # `device` opts into committed placement (multi-device callers).
+            staged = jax.device_put(x, device) if device is not None else jax.device_put(x)
             q.put(run(staged))  # async dispatch; blocks only when the
             # pipeline is `depth` deep (backpressure)
     finally:

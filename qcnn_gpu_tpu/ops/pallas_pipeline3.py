@@ -1,0 +1,397 @@
+"""Width-packed fused Pallas pipeline (v3) — break the 25-tap MXU floor.
+
+v2 (ops/pallas_pipeline2.py) fills the MXU's channel padding with a second
+frame, but its pass STRUCTURE is unchanged: S2 still issues one MXU pass
+per 5x5 tap (25), S3/S4 one per 3x3 tap (9 each) — 44 passes/program, each
+costing ~M/8 cycles regardless of N. That structure, not utilization per
+pass, is the measured 7.3ms/frame floor (PARITY.md cycle model).
+
+v3 restructures the taps with WIDTH-2 PIXEL PACKING (space-to-depth along
+W): every activation row holds TWO horizontally adjacent pixels' channels,
+
+    buffer[p, q*C + c]  =  pixel(row = p//we2, col = 2*(p%we2) + q), ch c
+
+so a conv's dx taps collapse into packed-column taps. For output phase po
+and tap dx, the input lands at packed offset d = (po+dx)//2, phase
+pi = (po+dx) % 2 — both phases of both operands ride the SAME MXU pass:
+
+    S2 (5x5, 64ch):  [m/2, 2*64=128] @ [128, 2*48=96]   5dy x 3d = 15 passes
+    S3 (3x3, 48ch):  [m/2, 2*48= 96] @ [ 96, 2*48=96]   3dy x 2d =  6 passes
+    S4 (3x3, 48ch):  [m/2, 96]       @ [ 96, 2]         3dy x 2d =  6 passes
+
+on HALF the rows of v2. Per-frame cost in row-units (th=64, we=256):
+v2 = m1/2 + 12.5*m2 + 4.5*m3 + 4.5*m4 = 376.6k; v3 = m1' + 15*m2' +
+6*m3' + 6*m4' = 239.6k — a structural 1.57x. The dx parity trick needs
+stage origins of alternating column parity (S3/S4 origins sit at ODD
+window columns so their 3 dx taps span only 2 packed columns); that is
+why S3/S4 carry their own edge mask (mkO) instead of slicing S2's.
+
+One frame per program (no frame pairing): K is already full at 128, odd
+batches need no padding, and the S1 im2col HBM traffic halves ([m1', 32]
+vs v2's [m1, 64] for two frames).
+
+Reference parity: same contract as v1/v2 — forward_blu (qvrcnn.cu:168-242)
+with the integer epilogues of SURVEY.md §5.1, bit-exact vs the oracle.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from qcnn_gpu_tpu.models.oracle import EngineParams
+from qcnn_gpu_tpu.models.qvrcnn import MergedParams
+from qcnn_gpu_tpu.ops.pallas_pipeline import HALO, PAD, _window
+from qcnn_gpu_tpu.ops.pallas_pipeline2 import _apply_mask, _requant_fast
+
+
+def _packed_taps(w: np.ndarray, k: int) -> np.ndarray:
+    """[k,k,Cin,Cout] -> [k * nd, 2*Cin, 2*Cout] width-packed tap matrices.
+
+    Tap (dy, d) maps (pi, cin) -> (po, cout) with dx = 2*d + pi - po; slots
+    whose dx falls outside [0, k) are zero (they belong to a neighboring d).
+    nd = 2 for k=3 (odd output origin), 3 for k=5 (even origin)."""
+    nd = (k + 1 + 1) // 2  # k=3 -> 2, k=5 -> 3
+    cin, cout = w.shape[2], w.shape[3]
+    out = np.zeros((k * nd, 2 * cin, 2 * cout), dtype=w.dtype)
+    for dy in range(k):
+        for d in range(nd):
+            for pi in range(2):
+                for po in range(2):
+                    dx = 2 * d + pi - po
+                    if 0 <= dx < k:
+                        out[dy * nd + d, pi * cin : (pi + 1) * cin,
+                            po * cout : (po + 1) * cout] = w[dy, dx]
+    return out
+
+
+@dataclasses.dataclass(frozen=True)
+class PackedWeights3:
+    w1: jnp.ndarray  # [32, 128] S1 pixel-major: rows (dy,u) taps, cols (po, c)
+    w2p: jnp.ndarray  # [15, 128, 96]
+    w3p: jnp.ndarray  # [6, 96, 96]
+    w4p: jnp.ndarray  # [6, 96, 8] (cols 0/1 = phase residuals)
+    b1: jnp.ndarray  # [1, 128] i32 (phase-tiled, bias_pre folded)
+    q1: Tuple[jnp.ndarray, ...]  # (blu_b, mul, shift) [1, 128] each
+    b2: jnp.ndarray  # [1, 96]
+    b3: jnp.ndarray
+    b4: jnp.ndarray  # [1, 8]
+    q2: Tuple[jnp.ndarray, ...]
+    q3: Tuple[jnp.ndarray, ...]
+    mul4: int
+    shift4: int
+
+    @classmethod
+    def from_engine(cls, p: EngineParams, dtype=None) -> "PackedWeights3":
+        dtype = dtype if dtype is not None else jnp.int8
+        mp = MergedParams.from_engine(p)
+        w = [np.asarray(x, dtype=np.float32) for x in mp.w_i8]
+
+        # S1: output (P, po) needs window col 2P + (po+dx); tap u = po+dx in
+        # [0, 6). w1[(dy,u), po*64+c] = w[dy, u-po, 0, c] for u-po in [0,5).
+        w1 = np.zeros((32, 128), np.float32)
+        for dy in range(5):
+            for u in range(6):
+                for po in range(2):
+                    dx = u - po
+                    if 0 <= dx < 5:
+                        w1[dy * 6 + u, po * 64 : (po + 1) * 64] = w[0][dy, dx, 0]
+
+        def tile2(v):
+            return jnp.asarray(np.tile(np.asarray(v), 2)[None, :], dtype=jnp.int32)
+
+        # Folded epilogue constants (ops/pallas_pipeline2._requant_fast):
+        # biases absorb the pre-multiply rounding bias, thresholds shift.
+        def qx(i):
+            bp = np.asarray(mp.bias_pre[i])
+            return tuple(
+                tile2(v)
+                for v in (
+                    np.asarray(mp.blu_q[i]) + bp,
+                    np.broadcast_to(np.asarray(mp.mul[i]), bp.shape),
+                    np.broadcast_to(np.asarray(mp.shift[i]), bp.shape),
+                )
+            )
+
+        b = [np.asarray(x, dtype=np.int32) for x in mp.b_i32]
+        b4_2 = np.zeros(8, np.int32)
+        b4_2[0] = b4_2[1] = b[3][0]
+        w4 = np.zeros((6, 96, 8), np.float32)
+        w4[:, :, :2] = _packed_taps(w[3], 3)
+        return cls(
+            w1=jnp.asarray(w1, dtype=dtype),
+            w2p=jnp.asarray(_packed_taps(w[1], 5), dtype=dtype),
+            w3p=jnp.asarray(_packed_taps(w[2], 3), dtype=dtype),
+            w4p=jnp.asarray(w4, dtype=dtype),
+            b1=tile2(b[0] + np.asarray(mp.bias_pre[0])),
+            q1=qx(0),
+            b2=tile2(b[1] + np.asarray(mp.bias_pre[1])),
+            b3=tile2(b[2] + np.asarray(mp.bias_pre[2])),
+            b4=jnp.asarray(b4_2[None, :], dtype=jnp.int32),
+            q2=qx(1),
+            q3=qx(2),
+            mul4=mp.mul4,
+            shift4=mp.shift4,
+        )
+
+    def consts(self):
+        return [
+            self.w1, self.w2p, self.w3p, self.w4p,
+            self.b1, self.b2, self.b3, self.b4,
+            *self.q1, *self.q2, *self.q3,
+        ]
+
+
+def _expand_mask(mk2, c: int):
+    """[m, 2] per-phase mask -> [m, 2*c] in (phase, channel) lane order."""
+    m = mk2.shape[0]
+    return jnp.concatenate(
+        [
+            jnp.broadcast_to(mk2[:, 0:1], (m, c)),
+            jnp.broadcast_to(mk2[:, 1:2], (m, c)),
+        ],
+        axis=1,
+    )
+
+
+def _stage_packed(v_ref, w_ref, kdy, nd, we2, m_out, b_i32, qvec, mask=None,
+                  unroll=False):
+    """One width-packed conv stage: taps (dy, d) at sublane offset
+    dy*we2 + d, weights w_ref[dy*nd + d] of shape [2*Cin, 2*Cout]."""
+    cout = w_ref.shape[2]
+    acc_dtype = jnp.int32 if v_ref.dtype == jnp.int8 else jnp.float32
+
+    if unroll:
+        base = v_ref[...]
+        acc = jnp.zeros((m_out, cout), dtype=acc_dtype)
+        for dy in range(kdy):
+            for d in range(nd):
+                off = dy * we2 + d
+                acc = acc + jnp.dot(
+                    base[off : off + m_out, :],
+                    w_ref[dy * nd + d],
+                    preferred_element_type=acc_dtype,
+                )
+    else:
+
+        def body(dy, acc):
+            base = pl.multiple_of(dy * we2, 8)
+            a_dy = v_ref[pl.ds(base, m_out + 8), :]
+            for d in range(nd):
+                acc = acc + jnp.dot(
+                    a_dy[d : d + m_out, :],
+                    w_ref[dy * nd + d],
+                    preferred_element_type=acc_dtype,
+                )
+            return acc
+
+        acc = jax.lax.fori_loop(
+            0, kdy, body, jnp.zeros((m_out, cout), dtype=acc_dtype)
+        )
+    u = acc.astype(jnp.int32) + b_i32 if acc_dtype != jnp.int32 else acc + b_i32
+    if qvec is None:
+        return u
+    v = _requant_fast(u, *qvec).astype(v_ref.dtype)
+    v = jnp.pad(v, ((0, 8), (0, 0)))  # tap over-run tail (see v1)
+    return mask(v) if mask is not None else v
+
+
+def _make_kernel3(th: int, we: int, mul4: int, shift4: int, unroll: bool = False,
+                  stages: int = 4, wc: int = 1):
+    we2 = we // 2
+    m1 = (th + 8) * we2
+    m2 = (th + 4) * we2
+    m3 = (th + 2) * we2
+    m4 = th * we2
+    assert mul4 <= 127, f"final mul {mul4} too large for int32 requant"
+
+    def kernel(
+        a1t_ref,  # [1,1,wc, m1, 32] pixel-major S1 im2col (taps (dy,u))
+        mkE_ref,  # [1,wc, m1+8, 2] per-phase mask, EVEN col origins (v1, v2)
+        mkO_ref,  # [1,wc, m3+8, 2] per-phase mask, ODD col origin (v3)
+        w1_ref, w2p_ref, w3p_ref, w4p_ref,
+        b1_ref, b2_ref, b3_ref, b4_ref,
+        q1b_ref, q1m_ref, q1s_ref,
+        q2b_ref, q2m_ref, q2s_ref,
+        q3b_ref, q3m_ref, q3s_ref,
+        out_ref,  # [1,1,wc, 2, m4] i16 residuals, lane-major, ROW per phase
+        v1s, v2s, v3s,
+    ):
+      for wi in range(wc):
+        # ---- S1: ONE pixel-major pass for both phases ----
+        act_dtype = w1_ref.dtype
+        acc1 = jnp.int32 if act_dtype == jnp.int8 else jnp.float32
+        u1 = jnp.dot(a1t_ref[0, 0, wi], w1_ref[...], preferred_element_type=acc1)
+        v1 = _requant_fast(
+            u1.astype(jnp.int32) + b1_ref[...],
+            q1b_ref[...], q1m_ref[...], q1s_ref[...],
+        ).astype(act_dtype)
+        v1 = jnp.pad(v1, ((0, 8), (0, 0)))
+        v1s[...] = _apply_mask(v1, _expand_mask(mkE_ref[0, wi], 64))
+
+        if stages <= 1:
+            emit_cols = 8
+            t = jnp.transpose(v1s[:m4, 0:emit_cols].astype(jnp.int32))
+            out_ref[0, 0, wi] = jnp.clip(t[0:2, :], -255, 255).astype(jnp.int16)
+            continue
+
+        # ---- S2 (5x5): 15 packed passes; mask = mkE rebased by (2, 2),
+        # i.e. packed offset 2*we2 + 1, same phase ----
+        s2_off = 2 * we2 + 1
+        v2s[...] = _stage_packed(
+            v1s, w2p_ref, 5, 3, we2, m2, b2_ref[...],
+            (q2b_ref[...], q2m_ref[...], q2s_ref[...]),
+            mask=lambda v: _apply_mask(
+                v, _expand_mask(mkE_ref[0, wi, s2_off : s2_off + m2 + 8, :], 48)
+            ),
+            unroll=unroll,
+        )
+        if stages <= 2:
+            t = jnp.transpose(v2s[:m4, 0:8].astype(jnp.int32))
+            out_ref[0, 0, wi] = jnp.clip(t[0:2, :], -255, 255).astype(jnp.int16)
+            continue
+
+        # ---- S3 (3x3): 6 packed passes; odd col origin -> own mask ----
+        v3s[...] = _stage_packed(
+            v2s, w3p_ref, 3, 2, we2, m3, b3_ref[...],
+            (q3b_ref[...], q3m_ref[...], q3s_ref[...]),
+            mask=lambda v: _apply_mask(v, _expand_mask(mkO_ref[0, wi], 48)),
+            unroll=unroll,
+        )
+        if stages <= 3:
+            t = jnp.transpose(v3s[:m4, 0:8].astype(jnp.int32))
+            out_ref[0, 0, wi] = jnp.clip(t[0:2, :], -255, 255).astype(jnp.int16)
+            continue
+
+        # ---- S4 + final residual requant (cnn.cu:507-523), both phases ----
+        u4 = _stage_packed(v3s, w4p_ref, 3, 2, we2, m4, b4_ref[...], None,
+                           unroll=unroll)
+        res = jnp.right_shift(u4 * mul4 + (1 << (shift4 - 1)), shift4)
+        t = jnp.transpose(res)
+        out_ref[0, 0, wi] = jnp.clip(t[0:2, :], -255, 255).astype(jnp.int16)
+
+    return kernel
+
+
+def _edge_masks2(nh, nw, th, tw, we2, h, w, m_rows, row_off, col_off):
+    """Per-tile per-PHASE 0/1 masks [nh, nw, m_rows, 2]: packed pixel p,
+    phase q of tile (hi, wi) is frame pixel (hi*th - row_off + p//we2,
+    wi*tw - col_off + 2*(p%we2) + q)."""
+    px = jnp.arange(m_rows)
+    q = jnp.arange(2)
+    gr = jnp.arange(nh)[:, None, None] * th - row_off + (px // we2)[None, None, :]
+    gc = (
+        jnp.arange(nw)[None, :, None, None] * tw
+        - col_off
+        + (2 * (px % we2))[None, None, :, None]
+        + q[None, None, None, :]
+    )
+    ok = ((gr >= 0) & (gr < h))[..., None] & (gc >= 0) & (gc < w)
+    return ok
+
+
+def build_pallas_forward3(
+    p: EngineParams, th: int = 64, we: int = 256, interpret: bool = False,
+    unroll: bool = True, dtype=None, stages: int = 4, wc: int = 1,
+):
+    """Width-packed fused restorer: fn(uint8 [B,H,W]) -> uint8 [B,H,W],
+    bit-exact vs the oracle. One frame per program; `we` must be even
+    (tw = we-12 stays even so packed columns align across tiles)."""
+    assert we % 2 == 0, "v3 packs two columns per lane group: we must be even"
+    dtype = dtype if dtype is not None else jnp.int8
+    pw = PackedWeights3.from_engine(p, dtype=dtype)
+    tw = we - PAD
+    he = th + PAD
+    we2 = we // 2
+    m1 = (th + 8) * we2
+    m3 = (th + 2) * we2
+    m4 = th * we2
+    consts = pw.consts()
+
+    @jax.jit
+    def run(x_uint8):
+        b, h, w = x_uint8.shape
+        nh = -(-h // th)
+        nw = -(-w // tw)
+        hp, wp = nh * th, nw * tw
+        x = (x_uint8.astype(jnp.int32) - 128).astype(dtype)
+        xp = jnp.pad(x, ((0, 0), (HALO, HALO + hp - h), (HALO, HALO + wp - w)))
+        xw = _window(xp, th, tw, he, we, nh, nw)
+
+        # S1 im2col, width-packed: tap (dy, u) of packed pixel p lives at
+        # window-flat index 2p + dy*we + u = pair (dy*we+u)//2 + p, phase
+        # u%2 (we even). 30 strided slices of the pair view, stacked.
+        flat = jnp.pad(xw.reshape(b, nh, nw, he * we), ((0, 0),) * 3 + ((0, 8),))
+        flat2 = flat.reshape(b, nh, nw, -1, 2)
+        taps = [
+            flat2[..., (dy * we + u) // 2 : (dy * we + u) // 2 + m1, u % 2]
+            for dy in range(5)
+            for u in range(6)
+        ]
+        a1t = jnp.stack(taps, axis=-1)  # [B, nh, nw, m1, 30]
+        a1t = jnp.pad(a1t, ((0, 0),) * 4 + ((0, 2),))
+
+        mkE = _edge_masks2(nh, nw, th, tw, we2, h, w, m1 + 8, 4, 4).astype(dtype)
+        mkO = _edge_masks2(nh, nw, th, tw, we2, h, w, m3 + 8, 1, 1).astype(dtype)
+        masks = [mkE, mkO]
+        mask_specs = [
+            pl.BlockSpec(
+                (1, wc, mk.shape[2], 2),
+                lambda bi, hi, wi: (hi, wi, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+            for mk in masks
+        ]
+
+        nwp = -(-nw // wc) * wc
+        if nwp != nw:
+            a1t = jnp.pad(a1t, ((0, 0), (0, 0), (0, nwp - nw), (0, 0), (0, 0)))
+            masks = [
+                jnp.pad(mk, ((0, 0), (0, nwp - nw), (0, 0), (0, 0))) for mk in masks
+            ]
+        kernel = _make_kernel3(th, we, pw.mul4, pw.shift4, unroll, stages, wc)
+        out = pl.pallas_call(
+            kernel,
+            grid=(b, nh, nwp // wc),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, 1, wc, m1, 32),
+                    lambda bi, hi, wi: (bi, hi, wi, 0, 0),
+                    memory_space=pltpu.VMEM,
+                )
+            ]
+            + mask_specs
+            + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in consts],
+            out_specs=pl.BlockSpec(
+                (1, 1, wc, 2, m4),
+                lambda bi, hi, wi: (bi, hi, wi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct((b, nh, nwp, 2, m4), jnp.int16),
+            scratch_shapes=[
+                pltpu.VMEM((m1 + 8, 128), dtype),
+                pltpu.VMEM(((th + 4) * we2 + 8, 96), dtype),
+                pltpu.VMEM(((th + 2) * we2 + 8, 96), dtype),
+            ],
+            interpret=interpret,
+        )(a1t, *masks, *consts)
+
+        # unpack: row q of [2, m4] = phase-q residuals; packed col C, row R
+        # of tile (hi, wi) -> frame (hi*th + R, wi*tw + 2C + q)
+        out = out[:, :, :nw].reshape(b, nh, nw, 2, th, we2)[..., : tw // 2]
+        res = out.transpose(0, 1, 4, 2, 5, 3).reshape(b, hp, wp)[:, :h, :w]
+        rec = x_uint8.astype(jnp.int32) + res.astype(jnp.int32)
+        return jnp.clip(rec, 0, 255).astype(jnp.uint8)
+
+    run.geometry = (th, we, tw)
+    run.packed = pw
+    return run

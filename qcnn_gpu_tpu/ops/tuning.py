@@ -18,7 +18,7 @@ import json
 import os
 from typing import Dict
 
-_KNOBS = ("th", "we", "wc")
+_KNOBS = ("th", "we", "wc", "kernel")
 
 TUNED_PATH = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
@@ -57,6 +57,23 @@ def tuned_kwargs(use_file: bool = True) -> Dict[str, int]:
             except ValueError:
                 pass
     return cfg
+
+
+def build_tuned(p, interpret: bool = False, use_file: bool = True, **overrides):
+    """Build the fused Pallas forward through the tuned config, selecting
+    the kernel generation with the `kernel` knob (3 = width-packed
+    pallas_pipeline3, the default; 2 = frame-pair pallas_pipeline2).
+    Extra kwargs override the tuned/env knobs."""
+    kw = tuned_kwargs(use_file=use_file)
+    kw.update(overrides)
+    kver = int(kw.pop("kernel", 3))
+    if kver >= 3:
+        from qcnn_gpu_tpu.ops.pallas_pipeline3 import build_pallas_forward3 as bld
+    else:
+        from qcnn_gpu_tpu.ops.pallas_pipeline2 import build_pallas_forward2 as bld
+    run = bld(p, interpret=interpret, **kw)
+    run.kernel_version = kver
+    return run
 
 
 def write_tuned(cfg: Dict[str, int], path: str = "") -> str:

@@ -198,7 +198,7 @@ def test_engine_demotes_pallas_failure_to_xla(monkeypatch):
     import jax
 
     from qcnn_gpu_tpu.engine import runner as runner_mod
-    from qcnn_gpu_tpu.ops import pallas_pipeline2
+    from qcnn_gpu_tpu.ops import pallas_pipeline3
 
     calls = []
 
@@ -212,7 +212,7 @@ def test_engine_demotes_pallas_failure_to_xla(monkeypatch):
 
     # make the runner take the pallas branch even on the CPU test machine
     monkeypatch.setattr(runner_mod.jax, "default_backend", lambda: "tpu")
-    monkeypatch.setattr(pallas_pipeline2, "build_pallas_forward2", flaky_build)
+    monkeypatch.setattr(pallas_pipeline3, "build_pallas_forward3", flaky_build)
 
     p = synth_engine_params(37)
     frames = synth_frames(2, 24, 40, seed=5)
@@ -245,13 +245,13 @@ def test_engine_demotes_pallas_build_failure(monkeypatch):
     trace time) must also demote under impl='auto' — it happens outside
     the call-time try/except, so _program handles it itself."""
     from qcnn_gpu_tpu.engine import runner as runner_mod
-    from qcnn_gpu_tpu.ops import pallas_pipeline2
+    from qcnn_gpu_tpu.ops import pallas_pipeline3
 
     def broken_build(p, **kw):
         raise RuntimeError("Mosaic: failed to legalize")
 
     monkeypatch.setattr(runner_mod.jax, "default_backend", lambda: "tpu")
-    monkeypatch.setattr(pallas_pipeline2, "build_pallas_forward2", broken_build)
+    monkeypatch.setattr(pallas_pipeline3, "build_pallas_forward3", broken_build)
 
     p = synth_engine_params(37)
     frames = synth_frames(2, 24, 40, seed=6)

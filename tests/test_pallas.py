@@ -70,6 +70,51 @@ def test_pallas2_odd_batch_and_geometry():
         assert (got == want).all(), (n, h, w, np.sum(got != want))
 
 
+@pytest.mark.parametrize("qp", [22, 37])
+def test_pallas3_width_packed_bit_exact(qp):
+    from qcnn_gpu_tpu.ops.pallas_pipeline3 import build_pallas_forward3
+
+    p = synth_engine_params(qp)
+    run = build_pallas_forward3(p, th=8, interpret=True)
+    x = synth_frames(2, 40, 300, seed=qp)
+    got = np.asarray(run(x))
+    want = O.forward_blu(x, p)
+    assert (got == want).all(), f"{np.sum(got != want)} mismatches"
+
+
+def test_pallas3_odd_batch_and_geometry():
+    """Odd frame counts, odd H/W (phase-split right edge), single-tile and
+    multi-tile cases — the packed-column masks must stay per-phase exact."""
+    from qcnn_gpu_tpu.ops.pallas_pipeline3 import build_pallas_forward3
+
+    p = synth_engine_params(27)
+    run = build_pallas_forward3(p, th=8, interpret=True)
+    for n, h, w, s in ((1, 37, 53, 1), (3, 18, 250, 2), (2, 13, 245, 4)):
+        x = synth_frames(n, h, w, seed=s)
+        got = np.asarray(run(x))
+        want = O.forward_blu(x, p)
+        assert (got == want).all(), (n, h, w, np.sum(got != want))
+
+
+def test_pallas3_variants():
+    """bf16 operand dtype, fori (non-unrolled) tap loop, wc column
+    chunking, and extreme frames all stay bit-exact."""
+    import jax.numpy as jnp
+
+    from qcnn_gpu_tpu.ops.pallas_pipeline3 import build_pallas_forward3
+
+    p = synth_engine_params(37)
+    x = synth_frames(2, 40, 300, seed=7)
+    want = O.forward_blu(x, p)
+    for kw in ({"dtype": jnp.bfloat16}, {"unroll": False}, {"wc": 2}):
+        run = build_pallas_forward3(p, th=8, interpret=True, **kw)
+        got = np.asarray(run(x))
+        assert (got == want).all(), (kw, np.sum(got != want))
+    run = build_pallas_forward3(p, th=8, interpret=True)
+    for xe in (np.zeros((1, 20, 250), np.uint8), np.full((1, 20, 250), 255, np.uint8)):
+        assert (np.asarray(run(xe)) == O.forward_blu(xe, p)).all()
+
+
 @pytest.mark.parametrize("wc", [2, 3])
 def test_pallas2_column_chunking(wc):
     """wc>1 processes several column tiles per program (divides the

@@ -279,10 +279,13 @@ def _make_kernel3(th: int, we: int, mul4: int, shift4: int, unroll: bool = False
     return kernel
 
 
-def _edge_masks2(nh, nw, th, tw, we2, h, w, m_rows, row_off, col_off):
+def _edge_masks2(nh, nw, th, tw, we2, hb, w, m_rows, row_off, col_off):
     """Per-tile per-PHASE 0/1 masks [nh, nw, m_rows, 2]: packed pixel p,
     phase q of tile (hi, wi) is frame pixel (hi*th - row_off + p//we2,
-    wi*tw - col_off + 2*(p%we2) + q)."""
+    wi*tw - col_off + 2*(p%we2) + q). `hb` is either the frame height or a
+    (row_lo, row_hi) pair — possibly traced scalars — marking the valid
+    row range (sharded blocks: the true frame edge is shard-dependent)."""
+    row_lo, row_hi = hb if isinstance(hb, tuple) else (0, hb)
     px = jnp.arange(m_rows)
     q = jnp.arange(2)
     gr = jnp.arange(nh)[:, None, None] * th - row_off + (px // we2)[None, None, :]
@@ -292,17 +295,23 @@ def _edge_masks2(nh, nw, th, tw, we2, h, w, m_rows, row_off, col_off):
         + (2 * (px % we2))[None, None, :, None]
         + q[None, None, None, :]
     )
-    ok = ((gr >= 0) & (gr < h))[..., None] & (gc >= 0) & (gc < w)
+    ok = ((gr >= row_lo) & (gr < row_hi))[..., None] & (gc >= 0) & (gc < w)
     return ok
 
 
 def build_pallas_forward3(
     p: EngineParams, th: int = 64, we: int = 256, interpret: bool = False,
     unroll: bool = True, dtype=None, stages: int = 4, wc: int = 1,
+    row_bounds: bool = False,
 ):
     """Width-packed fused restorer: fn(uint8 [B,H,W]) -> uint8 [B,H,W],
     bit-exact vs the oracle. One frame per program; `we` must be even
-    (tw = we-12 stays even so packed columns align across tiles)."""
+    (tw = we-12 stays even so packed columns align across tiles).
+
+    row_bounds=True returns fn(x_uint8, row_lo, row_hi) instead (unjitted,
+    for use inside shard_map): rows outside [row_lo, row_hi) are treated
+    as beyond the frame edge (per-layer zero padding), so a halo-extended
+    spatial shard can mark where the TRUE frame boundary sits."""
     assert we % 2 == 0, "v3 packs two columns per lane group: we must be even"
     dtype = dtype if dtype is not None else jnp.int8
     pw = PackedWeights3.from_engine(p, dtype=dtype)
@@ -314,8 +323,7 @@ def build_pallas_forward3(
     m4 = th * we2
     consts = pw.consts()
 
-    @jax.jit
-    def run(x_uint8):
+    def _fwd(x_uint8, hb):
         b, h, w = x_uint8.shape
         nh = -(-h // th)
         nw = -(-w // tw)
@@ -337,8 +345,8 @@ def build_pallas_forward3(
         a1t = jnp.stack(taps, axis=-1)  # [B, nh, nw, m1, 30]
         a1t = jnp.pad(a1t, ((0, 0),) * 4 + ((0, 2),))
 
-        mkE = _edge_masks2(nh, nw, th, tw, we2, h, w, m1 + 8, 4, 4).astype(dtype)
-        mkO = _edge_masks2(nh, nw, th, tw, we2, h, w, m3 + 8, 1, 1).astype(dtype)
+        mkE = _edge_masks2(nh, nw, th, tw, we2, hb, w, m1 + 8, 4, 4).astype(dtype)
+        mkO = _edge_masks2(nh, nw, th, tw, we2, hb, w, m3 + 8, 1, 1).astype(dtype)
         masks = [mkE, mkO]
         mask_specs = [
             pl.BlockSpec(
@@ -392,6 +400,10 @@ def build_pallas_forward3(
         rec = x_uint8.astype(jnp.int32) + res.astype(jnp.int32)
         return jnp.clip(rec, 0, 255).astype(jnp.uint8)
 
+    if row_bounds:
+        run = lambda x, row_lo, row_hi: _fwd(x, (row_lo, row_hi))  # noqa: E731
+    else:
+        run = jax.jit(lambda x: _fwd(x, x.shape[1]))
     run.geometry = (th, we, tw)
     run.packed = pw
     return run

@@ -67,26 +67,62 @@ def make_sharded_forward(
     N must divide by mesh dp, H by mesh sp. Weights are replicated (54.5k
     parameters — broadcast once, like the engine's one-time load_para H2D,
     cnn.cu:105-106).
-    """
-    mp = ModelParams.from_engine(p)
-    chosen = resolve_impl(impl, mp)
-    mpar = MergedParams.from_engine(p)
 
-    def block_fn(xb):  # xb: [N/dp, H/sp, W] uint8
-        xe = xb[..., None].astype(jnp.int32) - 128
-        xe = halo_exchange_rows(xe, "sp", halo)
-        # Frame-boundary shards: halo rows lie OUTSIDE the frame and must act
-        # as per-layer zero padding (see residual_blu row_valid docstring).
-        idx = lax.axis_index("sp")
-        n_sp = lax.axis_size("sp")
-        h_ext = xe.shape[1]
-        row = jnp.arange(h_ext)
-        row_valid = (row >= jnp.where(idx == 0, halo, 0)) & (
-            row < jnp.where(idx == n_sp - 1, h_ext - halo, h_ext)
-        )
-        res = residual_blu_merged(xe, mpar, chosen, row_valid=row_valid)
-        res = res[:, halo:-halo]
-        return apply_residual_u8(xb, res)
+    impl: 'pallas'/'pallas3' (or 'auto' on a TPU backend) runs the fused
+    width-packed Pallas kernel INSIDE the shard_map block — the fastest
+    single-chip path composed with the mesh: the halo-extended shard is
+    handed to the kernel with (row_lo, row_hi) bounds marking where the
+    true frame edge sits so per-layer zero padding lands exactly there.
+    Other impls run the XLA graph (the CPU-mesh test path).
+    """
+    use_kernel = impl.startswith("pallas") or (
+        impl == "auto" and jax.default_backend() != "cpu"
+    )
+    if use_kernel:
+        from qcnn_gpu_tpu.ops.pallas_pipeline3 import build_pallas_forward3
+        from qcnn_gpu_tpu.ops.tuning import tuned_kwargs
+
+        interp = jax.default_backend() == "cpu"
+        kw = {"th": 8, **tuned_kwargs(use_file=False)} if interp else tuned_kwargs()
+        kw.pop("kernel", None)
+        kern = build_pallas_forward3(p, interpret=interp, row_bounds=True, **kw)
+        chosen = "pallas3"
+
+        def block_fn(xb):  # xb: [N/dp, H/sp, W] uint8
+            # exchange in the ppro domain (int8): ppermute's zero fill for
+            # missing neighbors IS the engine's zero pad there; +128 maps
+            # back to the kernel's uint8 contract exactly
+            x8 = (xb.astype(jnp.int32) - 128).astype(jnp.int8)
+            xe = halo_exchange_rows(x8, "sp", halo)
+            idx = lax.axis_index("sp")
+            n_sp = lax.axis_size("sp")
+            h_ext = xe.shape[1]
+            row_lo = jnp.where(idx == 0, halo, 0)
+            row_hi = jnp.where(idx == n_sp - 1, h_ext - halo, h_ext)
+            xe_u8 = (xe.astype(jnp.int32) + 128).astype(jnp.uint8)
+            rec = kern(xe_u8, row_lo, row_hi)
+            return rec[:, halo:-halo]
+
+    else:
+        mp = ModelParams.from_engine(p)
+        chosen = resolve_impl(impl, mp)
+        mpar = MergedParams.from_engine(p)
+
+        def block_fn(xb):  # xb: [N/dp, H/sp, W] uint8
+            xe = xb[..., None].astype(jnp.int32) - 128
+            xe = halo_exchange_rows(xe, "sp", halo)
+            # Frame-boundary shards: halo rows lie OUTSIDE the frame and must
+            # act as per-layer zero padding (residual_blu row_valid docstring).
+            idx = lax.axis_index("sp")
+            n_sp = lax.axis_size("sp")
+            h_ext = xe.shape[1]
+            row = jnp.arange(h_ext)
+            row_valid = (row >= jnp.where(idx == 0, halo, 0)) & (
+                row < jnp.where(idx == n_sp - 1, h_ext - halo, h_ext)
+            )
+            res = residual_blu_merged(xe, mpar, chosen, row_valid=row_valid)
+            res = res[:, halo:-halo]
+            return apply_residual_u8(xb, res)
 
     sharded = shard_map(
         block_fn,

@@ -38,6 +38,23 @@ def test_sharded_small_rows_per_device():
     assert (np.asarray(run(x)) == O.forward_blu(x, p)).all()
 
 
+@pytest.mark.parametrize("dp,sp", [(2, 4), (4, 2)])
+def test_sharded_pallas_kernel_bit_exact(dp, sp):
+    """The fused width-packed Pallas kernel UNDER the mesh (VERDICT r1 #3):
+    halo-exchanged shards feed the kernel with dynamic (row_lo, row_hi)
+    frame bounds; output must equal the oracle bit-for-bit, including the
+    frame-top/bottom shards whose halos lie outside the frame."""
+    _need_devices(dp * sp)
+    p = synth_engine_params(37)
+    mesh = make_mesh(dp, sp)
+    run = make_sharded_forward(p, mesh, impl="pallas3")
+    # W=300 forces two column tiles at we=256; rows 24/shard exceed halo 6
+    x = synth_frames(dp * 2, sp * 24, 300, seed=dp * 10 + sp)
+    want = O.forward_blu(x, p)
+    got = np.asarray(run(x))
+    assert (got == want).all(), f"{np.sum(got != want)} mismatches at mesh {dp}x{sp}"
+
+
 def test_psnr_sharded_matches_host():
     _need_devices(8)
     from qcnn_gpu_tpu.data import yuv

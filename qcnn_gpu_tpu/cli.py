@@ -139,7 +139,10 @@ def cmd_train(args) -> int:
     if args.resume:
         tr.load_checkpoint(args.ckpt)
     steps = args.steps or (ds.pieces // cfg.batch_size) * cfg.epochs
-    tr.fit_batches(PrefetchLoader(ds.batches(cfg.batch_size, steps)))
+    tr.fit_batches(
+        PrefetchLoader(ds.batches(cfg.batch_size, steps)),
+        image_dir=args.image_dir,
+    )
     tr.save_checkpoint(args.ckpt)
     print(f"trained {steps} steps -> {args.ckpt}")
     return 0
@@ -377,6 +380,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--ckpt", default="checkpoint")
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--image-dir", default=None,
+                   help="dump input|output|target triplet PNGs at log steps "
+                        "(tf.summary.image analog, model.py:61-69)")
     p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser("calibrate", help="solve quant table from a checkpoint")

@@ -284,13 +284,22 @@ def _edge_masks2(nh, nw, th, tw, we2, hb, w, m_rows, row_off, col_off):
     phase q of tile (hi, wi) is frame pixel (hi*th - row_off + p//we2,
     wi*tw - col_off + 2*(p%we2) + q). `hb` is either the frame height or a
     (row_lo, row_hi) pair — possibly traced scalars — marking the valid
-    row range (sharded blocks: the true frame edge is shard-dependent)."""
+    row range (sharded blocks: the true frame edge is shard-dependent).
+
+    With static bounds the whole mask is computed in NUMPY so it embeds as
+    a jit constant — zero per-call device work. Traced bounds (the sharded
+    path) split into a static column mask times a dynamic row mask."""
     row_lo, row_hi = hb if isinstance(hb, tuple) else (0, hb)
-    px = jnp.arange(m_rows)
-    q = jnp.arange(2)
-    gr = jnp.arange(nh)[:, None, None] * th - row_off + (px // we2)[None, None, :]
+    xp = jnp if isinstance(row_lo, jax.core.Tracer) or isinstance(
+        row_hi, jax.core.Tracer
+    ) else np
+    px = np.arange(m_rows)
+    q = np.arange(2)
+    gr = xp.asarray(
+        np.arange(nh)[:, None, None] * th - row_off + (px // we2)[None, None, :]
+    )
     gc = (
-        jnp.arange(nw)[None, :, None, None] * tw
+        np.arange(nw)[None, :, None, None] * tw
         - col_off
         + (2 * (px % we2))[None, None, :, None]
         + q[None, None, None, :]
@@ -330,19 +339,34 @@ def build_pallas_forward3(
         hp, wp = nh * th, nw * tw
         x = (x_uint8.astype(jnp.int32) - 128).astype(dtype)
         xp = jnp.pad(x, ((0, 0), (HALO, HALO + hp - h), (HALO, HALO + wp - w)))
-        xw = _window(xp, th, tw, he, we, nh, nw)
 
-        # S1 im2col, width-packed: tap (dy, u) of packed pixel p lives at
-        # window-flat index 2p + dy*we + u = pair (dy*we+u)//2 + p, phase
-        # u%2 (we even). 30 strided slices of the pair view, stacked.
-        flat = jnp.pad(xw.reshape(b, nh, nw, he * we), ((0, 0),) * 3 + ((0, 8),))
-        flat2 = flat.reshape(b, nh, nw, -1, 2)
+        # S1 im2col, width-packed. Tap (dy, u) of packed pixel p = R*we2+C
+        # is window pixel (R+dy, 2C+u): window the frame into even/odd
+        # column PLANES first (phase folded into the window gather's
+        # column indices), after which every tap is a cheap contiguous
+        # slice of plane u%2 at offset dy*we2 + u//2 — naive per-tap phase
+        # indexing was 30 stride-2 relayouts and dominated the pipeline.
+        tw2 = tw // 2
+        rows = jnp.arange(nh)[:, None] * th + jnp.arange(he)[None, :]
+        planes = []
+        for ph in range(2):
+            cols = (jnp.arange(nw)[:, None] * tw2 + jnp.arange(we2)[None, :]) * 2 + ph
+            xw = xp[:, rows, :][:, :, :, cols].transpose(0, 1, 3, 2, 4)
+            planes.append(
+                jnp.pad(xw.reshape(b, nh, nw, he * we2), ((0, 0),) * 3 + ((0, 8),))
+            )
         taps = [
-            flat2[..., (dy * we + u) // 2 : (dy * we + u) // 2 + m1, u % 2]
+            planes[u % 2][..., dy * we2 + u // 2 : dy * we2 + u // 2 + m1]
             for dy in range(5)
             for u in range(6)
         ]
-        a1t = jnp.stack(taps, axis=-1)  # [B, nh, nw, m1, 30]
+        # stack TAP-MAJOR then swap: stacking on the minor axis makes XLA
+        # materialize every tap as [.., m1, 1] in T(8,128) tiling — a 128x
+        # lane-padding blowup (18.5 GB at 1080p batch 4, a compile-time
+        # HBM OOM). Tap-major tensors are unpadded; one transpose pays
+        # a single relayout into the kernel's pixel-major [m1, 32].
+        a1t = jnp.stack(taps, axis=3)  # [B, nh, nw, 30, m1] — no padding
+        a1t = jnp.swapaxes(a1t, 3, 4)  # [B, nh, nw, m1, 30]
         a1t = jnp.pad(a1t, ((0, 0),) * 4 + ((0, 2),))
 
         mkE = _edge_masks2(nh, nw, th, tw, we2, hb, w, m1 + 8, 4, 4).astype(dtype)

@@ -68,3 +68,74 @@ def make_tp_conv_pair(mesh: Mesh, axis: str = "sp"):
         check_rep=False,
     )
     return jax.jit(f)
+
+
+def make_tp_int8_forward(p, mesh: Mesh, axis: str = "sp"):
+    """Channel-sharded INT8 QVRCNN — TP integrated with the real engine.
+
+    The merged 4-stage graph as two Megatron pairs over mesh axis `axis`:
+
+      S1 (1->64)  column-parallel: output channels + their per-channel
+                  requant vectors sharded; no communication.
+      S2 (64->48) row-parallel: input channels sharded; ONE int32 psum
+                  combines the partial accumulators, THEN bias + BLU
+                  requant run on the exact full sum — integer psum is
+                  exact, so the epilogue sees bit-identical accumulators.
+      S3 (48->48) column-parallel again; S4 (48->1) row-parallel with the
+                  final-residual requant after its psum.
+
+    Bit-exact vs the unsharded engine/oracle (tested on the CPU mesh).
+    Requires 64 % tp == 0 and 48 % tp == 0 (tp in {1,2,4,8,16}).
+
+    Returns fn(uint8 [N,H,W]) -> uint8 [N,H,W]. SURVEY §2.4 P6.
+    """
+    from qcnn_gpu_tpu.models.qvrcnn import MergedParams, _conv_int
+    from qcnn_gpu_tpu.ops.requant import apply_residual_u8, final_residual_i32
+
+    mp = MergedParams.from_engine(p)
+    tp = mesh.shape[axis]
+    assert 64 % tp == 0 and 48 % tp == 0, f"tp={tp} must divide 64 and 48"
+
+    def requant(u, blu_q, mul, bias_pre, shift):
+        mid = jnp.right_shift((u + bias_pre) * mul, shift)
+        return jnp.where(u > blu_q, 127, jnp.where(u < 0, 0, mid))
+
+    def block(x, w1, b1, q1, w2, b2, q2, w3, b3, q3, w4, b4):
+        v1 = requant(_conv_int(x, w1, b1), *q1)  # [.., 64/tp] local
+        u2 = lax.psum(_conv_int(v1, w2, jnp.zeros((), jnp.int32)), axis) + b2
+        v2 = requant(u2, *q2)  # [.., 48] replicated
+        v3 = requant(_conv_int(v2, w3, b3), *q3)  # [.., 48/tp] local
+        u4 = lax.psum(_conv_int(v3, w4, jnp.zeros((), jnp.int32)), axis) + b4
+        return final_residual_i32(u4, mp.mul4, mp.shift4)[..., 0]
+
+    shard_c = P(axis)
+    f = shard_map(
+        block,
+        mesh=mesh,
+        in_specs=(
+            P(),  # x replicated
+            P(None, None, None, axis), shard_c, (shard_c,) * 4,  # S1 col
+            P(None, None, axis, None), P(), (P(),) * 4,  # S2 row (psum)
+            P(None, None, None, axis), shard_c, (shard_c,) * 4,  # S3 col
+            P(None, None, axis, None), P(),  # S4 row (psum)
+        ),
+        out_specs=P(),
+        check_rep=False,
+    )
+    q = lambda i: (mp.blu_q[i], mp.mul[i], mp.bias_pre[i], mp.shift[i])
+    args = (
+        mp.w_i8[0], mp.b_i32[0], q(0),
+        mp.w_i8[1], mp.b_i32[1], q(1),
+        mp.w_i8[2], mp.b_i32[2], q(2),
+        mp.w_i8[3], mp.b_i32[3],
+    )
+
+    @jax.jit
+    def run(x_uint8):
+        x = x_uint8[..., None].astype(jnp.int32) - 128
+        res = f(x, *args)
+        return apply_residual_u8(x_uint8, res)
+
+    run.mesh = mesh
+    run.impl = f"tp{tp}-int8"
+    return run

@@ -46,6 +46,28 @@ class TrainConfig:
     log_every: int = 10
 
 
+def dump_image_triplet(image_dir, step, inp, out, target) -> str:
+    """Write one input|output|target side-by-side PNG — the reference's
+    tf.summary.image triplet (model.py:61-69) as a plain file artifact.
+    inp/out/target: uint8 [H, W]. Returns the written path."""
+    import os
+
+    os.makedirs(image_dir, exist_ok=True)
+    sep = np.full((inp.shape[0], 4), 255, np.uint8)
+    strip = np.concatenate([inp, sep, out, sep, target], axis=1)
+    path = os.path.join(image_dir, f"triplet_{step:07d}.png")
+    try:
+        from PIL import Image
+
+        Image.fromarray(strip, "L").save(path)
+    except ImportError:  # PNG writer unavailable: fall back to raw PGM
+        path = path[:-4] + ".pgm"
+        with open(path, "wb") as fp:
+            fp.write(b"P5\n%d %d\n255\n" % (strip.shape[1], strip.shape[0]))
+            fp.write(strip.tobytes())
+    return path
+
+
 def _masked_residual(params, x_norm, blu_ub, row_valid):
     """Float residual with per-layer row masking (halo correctness)."""
 
@@ -152,7 +174,13 @@ class Trainer:
         self.opt_state = opt_init(self.params)
         self.global_step = 0
 
-    def fit_batches(self, batches, log_fn=print, metrics_path: Optional[str] = None):
+    def fit_batches(
+        self,
+        batches,
+        log_fn=print,
+        metrics_path: Optional[str] = None,
+        image_dir: Optional[str] = None,
+    ):
         """batches: iterable of (images, labels) float32 [N, H, W, 1] raw-
         valued arrays (labels = originals, images = codec anchors — note
         the reference feeds batch[1] as images, batch[0] as labels,
@@ -160,7 +188,11 @@ class Trainer:
 
         metrics_path: optional JSONL sink for per-log-step scalars (loss +
         batch PSNR) — the structured replacement for the reference's
-        TensorBoard summaries (model.py:61-69, 116-117, 144-145)."""
+        TensorBoard summaries (model.py:61-69, 116-117, 144-145).
+
+        image_dir: optional directory receiving an input|output|target
+        triptych PNG at every log step — the analog of the reference's
+        tf.summary.image triplet (model.py:61-69)."""
         import json
         import math
         import time as _time
@@ -201,6 +233,16 @@ class Trainer:
                             )
                             + "\n"
                         )
+                if image_dir:
+                    out = np.clip(
+                        np.asarray(pred) * 255.0 + 128.0, 0, 255
+                    ).astype(np.uint8)
+                    dump_image_triplet(
+                        image_dir, self.global_step,
+                        images[0, ..., 0].astype(np.uint8),
+                        out[0, ..., 0],
+                        labels[0, ..., 0].astype(np.uint8),
+                    )
         return float(loss) if loss is not None else None
 
     # -- checkpointing (replacing tf.train.Saver, model.py:70,146-149) --

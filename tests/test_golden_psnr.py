@@ -1,0 +1,69 @@
+"""End-to-end golden-PSNR regression (kernel.cu:105-115 analog).
+
+Regenerates the deterministic real-photo clip + JPEG anchors
+(qcnn_gpu_tpu/data/golden.py), loads the COMMITTED per-QP engine model
+files, runs the production engine, and compares per-QP PSNR against the
+committed goldens to ±0.01 dB. A ±1-LSB numeric regression anywhere in
+preprocess -> 4 fused stages -> requant -> residual add flips many output
+pixels and moves PSNR by far more than 0.01 dB, so this is the repo's
+whole-pipeline tripwire — the role psnr_static_*.data plays upstream.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from qcnn_gpu_tpu.data import yuv
+from qcnn_gpu_tpu.data.golden import GOLDEN_DIR, QP_QUALITY, golden_clip, jpeg_anchor
+from qcnn_gpu_tpu.data.model_files import read_psnr_goldens, read_static_qfp_vect_c
+from qcnn_gpu_tpu.models.qvrcnn import make_forward
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(os.path.join(GOLDEN_DIR, "psnr_golden.json")),
+    reason="golden artifacts not generated (scripts/make_golden.py)",
+)
+
+
+@pytest.fixture(scope="module")
+def goldens():
+    with open(os.path.join(GOLDEN_DIR, "psnr_golden.json")) as fp:
+        return json.load(fp)
+
+
+@pytest.fixture(scope="module")
+def eval_clip():
+    _, clean_ev = golden_clip()
+    return clean_ev
+
+
+@pytest.mark.parametrize("qp", sorted(QP_QUALITY))
+def test_engine_reproduces_golden_psnr(qp, goldens, eval_clip):
+    g = goldens["goldens"][str(qp)]
+    anchor = jpeg_anchor(eval_clip, QP_QUALITY[qp])
+    before = yuv.psnr(anchor, eval_clip)
+    assert before == pytest.approx(g["before"], abs=0.01), (
+        "anchor generation drifted (PIL JPEG changed?) — regenerate goldens"
+    )
+
+    p = read_static_qfp_vect_c(os.path.join(GOLDEN_DIR, f"model_q{qp}.data"))
+    run = make_forward(p, impl="auto")
+    rec = np.asarray(run(anchor))
+    after = yuv.psnr(rec, eval_clip)
+    assert after == pytest.approx(g["after"], abs=0.01), (
+        f"QP{qp}: engine PSNR {after:.4f} vs golden {g['after']:.4f}"
+    )
+    # the trained models must actually restore (healthy reference runs
+    # cluster at +0.1..+0.6 dB, BASELINE.md)
+    assert after > before, f"QP{qp}: no restoration gain ({before:.3f} -> {after:.3f})"
+
+
+@pytest.mark.parametrize("qp", sorted(QP_QUALITY))
+def test_reference_format_goldens_match_json(qp, goldens):
+    g = goldens["goldens"][str(qp)]
+    path = os.path.join(GOLDEN_DIR, f"psnr_static_hopper_{qp}.data")
+    vals = read_psnr_goldens(path)
+    assert vals.shape == (2,)
+    assert vals[0] == pytest.approx(g["before"], abs=1e-6)
+    assert vals[1] == pytest.approx(g["after"], abs=1e-6)

@@ -74,6 +74,24 @@ def test_mesh_shape_heuristic():
     assert dp == 1 and sp == 1  # too few rows to justify spatial shards
 
 
+@pytest.mark.parametrize("tp", [2, 4, 8])
+def test_tp_int8_engine_bit_exact(tp):
+    """TP integrated with the INT8 engine (VERDICT r1 #7): channel-sharded
+    Megatron pairs with int32 psums BEFORE the requant epilogues must be
+    bit-exact vs the oracle — integer psum is exact, so the epilogue sees
+    identical accumulators regardless of tp."""
+    _need_devices(tp)
+    from qcnn_gpu_tpu.parallel.tensor import make_tp_int8_forward
+
+    p = synth_engine_params(32)
+    mesh = make_mesh(1, tp)
+    run = make_tp_int8_forward(p, mesh, axis="sp")
+    x = synth_frames(2, 24, 40, seed=tp)
+    want = O.forward_blu(x, p)
+    got = np.asarray(run(x))
+    assert (got == want).all(), f"tp={tp}: {np.sum(got != want)} mismatches"
+
+
 def test_tp_conv_pair_matches_unsharded():
     """Channel-sharded conv pair == unsharded (TP analog, demonstration
     scale; an all-channels-on-one-chip psum identity check)."""

@@ -212,7 +212,9 @@ def _make_kernel3(th: int, we: int, mul4: int, shift4: int, unroll: bool = False
     assert mul4 <= 127, f"final mul {mul4} too large for int32 requant"
 
     def kernel(
-        a1t_ref,  # [1,1,wc, m1, 32] pixel-major S1 im2col (taps (dy,u))
+        a1t_ref,  # [1,1,wc, 32, m1] TAP-major S1 im2col (taps (dy,u));
+        #           S1 contracts dim 0 so the HBM operand needs no lane
+        #           padding and no host-side transpose
         mkE_ref,  # [1,wc, m1+8, 2] per-phase mask, EVEN col origins (v1, v2)
         mkO_ref,  # [1,wc, m3+8, 2] per-phase mask, ODD col origin (v3)
         w1_ref, w2p_ref, w3p_ref, w4p_ref,
@@ -224,10 +226,16 @@ def _make_kernel3(th: int, we: int, mul4: int, shift4: int, unroll: bool = False
         v1s, v2s, v3s,
     ):
       for wi in range(wc):
-        # ---- S1: ONE pixel-major pass for both phases ----
+        # ---- S1: ONE pass for both phases; lhs arrives tap-major, the
+        # dot contracts lhs dim 0 (Mosaic streams the transposed operand
+        # through the MXU natively) ----
         act_dtype = w1_ref.dtype
         acc1 = jnp.int32 if act_dtype == jnp.int8 else jnp.float32
-        u1 = jnp.dot(a1t_ref[0, 0, wi], w1_ref[...], preferred_element_type=acc1)
+        u1 = jax.lax.dot_general(
+            a1t_ref[0, 0, wi], w1_ref[...],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=acc1,
+        )  # [m1, 128]
         v1 = _requant_fast(
             u1.astype(jnp.int32) + b1_ref[...],
             q1b_ref[...], q1m_ref[...], q1s_ref[...],
@@ -311,7 +319,7 @@ def _edge_masks2(nh, nw, th, tw, we2, hb, w, m_rows, row_off, col_off):
 def build_pallas_forward3(
     p: EngineParams, th: int = 64, we: int = 256, interpret: bool = False,
     unroll: bool = True, dtype=None, stages: int = 4, wc: int = 1,
-    row_bounds: bool = False,
+    row_bounds: bool = False, _debug: str = "",
 ):
     """Width-packed fused restorer: fn(uint8 [B,H,W]) -> uint8 [B,H,W],
     bit-exact vs the oracle. One frame per program; `we` must be even
@@ -360,14 +368,16 @@ def build_pallas_forward3(
             for dy in range(5)
             for u in range(6)
         ]
-        # stack TAP-MAJOR then swap: stacking on the minor axis makes XLA
-        # materialize every tap as [.., m1, 1] in T(8,128) tiling — a 128x
-        # lane-padding blowup (18.5 GB at 1080p batch 4, a compile-time
-        # HBM OOM). Tap-major tensors are unpadded; one transpose pays
-        # a single relayout into the kernel's pixel-major [m1, 32].
+        # the operand stays TAP-MAJOR [.., 32, m1]: minor dim m1 needs no
+        # lane padding and the stack writes it directly, so XLA's copy
+        # into the custom-call operand layout is a plain fused loop. Both
+        # alternatives measured pathological: stacking on the minor axis
+        # materializes every tap as [.., m1, 1] lane-padded 128x (18.5 GB
+        # compile-time OOM at 1080p B=4), and swapaxes-after-stack costs
+        # ~22 ms/frame in the operand-layout copy (vs 0.09 ms for this
+        # form). The kernel contracts dim 0 of the [32, m1] block instead.
         a1t = jnp.stack(taps, axis=3)  # [B, nh, nw, 30, m1] — no padding
-        a1t = jnp.swapaxes(a1t, 3, 4)  # [B, nh, nw, m1, 30]
-        a1t = jnp.pad(a1t, ((0, 0),) * 4 + ((0, 2),))
+        a1t = jnp.pad(a1t, ((0, 0),) * 3 + ((0, 2), (0, 0)))
 
         mkE = _edge_masks2(nh, nw, th, tw, we2, hb, w, m1 + 8, 4, 4).astype(dtype)
         mkO = _edge_masks2(nh, nw, th, tw, we2, hb, w, m3 + 8, 1, 1).astype(dtype)
@@ -387,6 +397,8 @@ def build_pallas_forward3(
             masks = [
                 jnp.pad(mk, ((0, 0), (0, nwp - nw), (0, 0), (0, 0))) for mk in masks
             ]
+        if "zero_a1" in _debug:  # perf bisection: cut the prep chain
+            a1t = jnp.zeros(a1t.shape, a1t.dtype)
         kernel = _make_kernel3(th, we, pw.mul4, pw.shift4, unroll, stages, wc)
         out = pl.pallas_call(
             kernel,
@@ -396,7 +408,7 @@ def build_pallas_forward3(
             ),
             in_specs=[
                 pl.BlockSpec(
-                    (1, 1, wc, m1, 32),
+                    (1, 1, wc, 32, m1),
                     lambda bi, hi, wi: (bi, hi, wi, 0, 0),
                     memory_space=pltpu.VMEM,
                 )
@@ -417,6 +429,8 @@ def build_pallas_forward3(
             interpret=interpret,
         )(a1t, *masks, *consts)
 
+        if "raw_out" in _debug:  # perf bisection: skip unpack/residual
+            return out
         # unpack: row q of [2, m4] = phase-q residuals; packed col C, row R
         # of tile (hi, wi) -> frame (hi*th + R, wi*tw + 2C + q)
         out = out[:, :, :nw].reshape(b, nh, nw, 2, th, we2)[..., : tw // 2]

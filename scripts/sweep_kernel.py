@@ -1,6 +1,6 @@
-"""Kernel-config sweep for the fused Pallas pipeline (v2) on real TPU.
+"""Kernel-config sweep for the fused Pallas pipelines (v2 + v3) on real TPU.
 
-Each (th, we, wc) config runs in its OWN subprocess with a hard timeout:
+Each (kernel, th, we, wc) config runs in its OWN subprocess with a hard timeout:
 the remote Mosaic compile helper intermittently hangs forever on a
 request, and a hung compile must cost one config, not the sweep. Exact-
 ness is certified per config against the NumPy oracle on a small frame
@@ -15,18 +15,25 @@ import subprocess
 import sys
 
 CONFIGS = [
-    # (th, we, wc) — th=64/we=256/wc=2 is the shipping tuned default.
-    # we>=512 is dropped: measured on hw, those configs either fail to
-    # compile or blow the 900s compile budget (sweep_kernel.jsonl), and
-    # the wider column tile has no model-side advantage over wc chunking.
-    (64, 256, 1),
-    (64, 256, 2),
-    (64, 256, 4),
-    (128, 256, 1),
-    (128, 256, 2),
-    (32, 256, 2),
-    (256, 256, 1),
-    (256, 256, 2),
+    # (kernel, th, we, wc). kernel 3 = width-packed (one frame/program,
+    # 2x fewer MXU passes), kernel 2 = frame-pair. we>=512 is dropped:
+    # measured on hw, those configs either fail to compile or blow the
+    # 900s compile budget (sweep_kernel.jsonl), and the wider column tile
+    # has no model-side advantage over wc chunking.
+    (3, 64, 256, 1),
+    (3, 64, 256, 2),
+    (3, 64, 256, 4),
+    (3, 128, 256, 1),
+    (3, 128, 256, 2),
+    (3, 256, 256, 1),
+    (2, 64, 256, 1),
+    (2, 64, 256, 2),
+    (2, 64, 256, 4),
+    (2, 128, 256, 1),
+    (2, 128, 256, 2),
+    (2, 32, 256, 2),
+    (2, 256, 256, 1),
+    (2, 256, 256, 2),
 ]
 
 CHILD = r"""
@@ -35,17 +42,17 @@ sys.path.insert(0, {repo!r})
 import numpy as np, jax
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-from qcnn_gpu_tpu.ops.pallas_pipeline2 import build_pallas_forward2
+from qcnn_gpu_tpu.ops.tuning import build_tuned
 from qcnn_gpu_tpu.engine.tiled import restore_tiled
 from qcnn_gpu_tpu.models import oracle as O
 from qcnn_gpu_tpu.models.qvrcnn import make_forward
 from qcnn_gpu_tpu.testing import synth_engine_params, synth_frames
 
-th, we, wc = {th}, {we}, {wc}
+kernel, th, we, wc = {kernel}, {th}, {we}, {wc}
 p = synth_engine_params(37)
 xs = synth_frames(2, 48, 488, seed=1)
 gold = O.forward_blu(xs, p)
-run = build_pallas_forward2(p, th=th, we=we, wc=wc)
+run = build_tuned(p, use_file=False, kernel=kernel, th=th, we=we, wc=wc)
 exact = bool((np.asarray(run(xs)) == gold).all())
 # certify at the TIMED geometry too: tile-remainder handling differs per
 # (h, w). Gold comes from the XLA graph via the HOST-TILED path — this
@@ -64,8 +71,9 @@ for _ in range(n):
     out = run(xb)
 out.block_until_ready()
 ms = 1000 * (time.perf_counter() - t0) / (n * 4)
-print("RESULT " + json.dumps({{"th": th, "we": we, "wc": wc,
-                               "ms_per_frame": round(ms, 3), "exact": exact}}))
+print("RESULT " + json.dumps({{"kernel": kernel, "th": th, "we": we,
+                               "wc": wc, "ms_per_frame": round(ms, 3),
+                               "exact": exact}}))
 """
 
 
@@ -81,11 +89,11 @@ def main(out_path="sweep_kernel.jsonl", timeout_s=900):
             # optimum never silently excludes a viable config. Set
             # SWEEP_SKIP_ERRORS=1 to treat error rows as final.
             if "ms_per_frame" in r or os.environ.get("SWEEP_SKIP_ERRORS") == "1":
-                done.add((r["th"], r["we"], r["wc"]))
-    for th, we, wc in CONFIGS:
-        if (th, we, wc) in done:
+                done.add((r.get("kernel", 2), r["th"], r["we"], r["wc"]))
+    for kernel, th, we, wc in CONFIGS:
+        if (kernel, th, we, wc) in done:
             continue
-        code = CHILD.format(repo=repo, th=th, we=we, wc=wc)
+        code = CHILD.format(repo=repo, kernel=kernel, th=th, we=we, wc=wc)
         try:
             cp = subprocess.run(
                 [sys.executable, "-u", "-c", code],
@@ -100,10 +108,11 @@ def main(out_path="sweep_kernel.jsonl", timeout_s=900):
                 # JAX traceback filtering buries the exception; prefer
                 # lines that actually name an error
                 tail = [l for l in lines if "rror" in l][-2:] or lines[-3:]
-                row = {"th": th, "we": we, "wc": wc,
+                row = {"kernel": kernel, "th": th, "we": we, "wc": wc,
                        "error": " | ".join(tail)[:300]}
         except subprocess.TimeoutExpired:
-            row = {"th": th, "we": we, "wc": wc, "error": f"timeout {timeout_s}s"}
+            row = {"kernel": kernel, "th": th, "we": we, "wc": wc,
+                   "error": f"timeout {timeout_s}s"}
         with open(out_path, "a") as fp:
             fp.write(json.dumps(row) + "\n")
         print(row, flush=True)

@@ -33,8 +33,7 @@ def main(out_path="bench_matrix.json"):
     import jax
 
     from qcnn_gpu_tpu.models.qvrcnn import make_forward
-    from qcnn_gpu_tpu.ops.pallas_pipeline2 import build_pallas_forward2
-    from qcnn_gpu_tpu.ops.tuning import tuned_kwargs
+    from qcnn_gpu_tpu.ops.tuning import build_tuned, tuned_kwargs
     from qcnn_gpu_tpu.testing import synth_engine_params, synth_frames
 
     p = synth_engine_params(37)
@@ -45,8 +44,9 @@ def main(out_path="bench_matrix.json"):
     }
 
     builders = {
+        "pallas3": lambda: build_tuned(p, kernel=3),
+        "pallas2": lambda: build_tuned(p, kernel=2),
         "xla": lambda: make_forward(p, impl="auto"),
-        "pallas2": lambda: build_pallas_forward2(p, **tuned_kwargs()),
     }
     only = os.environ.get("BENCH_IMPLS")  # e.g. "pallas2" or "xla,pallas2"
     if only:
@@ -110,6 +110,27 @@ def main(out_path="bench_matrix.json"):
                                         "tiled_error": str(e2)[:200]}
                     print(f"{name} {w}x{h}: FAIL {str(e)[:120]}", flush=True)
         report["device_ms_per_frame"][name] = rows
+
+    # batch-scaling curve @1080p on the shipping kernel (multi-chip
+    # projections need a measured per-chip batch basis)
+    try:
+        run = build_tuned(p)
+        curve = {}
+        for b in (1, 2, 4, 8, 16):
+            x = jax.device_put(synth_frames(b, 1080, 1920, seed=2))
+            o = run(x)
+            jax.block_until_ready(o)
+            n = 8
+            t0 = time.perf_counter()
+            for _ in range(n):
+                o = run(x)
+            jax.block_until_ready(o)
+            ms = (time.perf_counter() - t0) / (n * b) * 1000
+            curve[b] = {"ms_per_frame": round(ms, 3), "fps": round(1000 / ms, 1)}
+            print(f"batch {b} @1080p: {ms:.2f} ms/frame", flush=True)
+        report["batch_scaling_1080p"] = curve
+    except Exception as e:  # noqa: BLE001
+        report["batch_scaling_1080p"] = {"error": str(e)[:200]}
 
     with open(out_path, "w") as fp:
         json.dump(report, fp, indent=2)

@@ -154,3 +154,23 @@ def test_trainer_metrics_jsonl(tmp_path):
     rows = [json.loads(l) for l in open(path)]
     assert len(rows) == 3
     assert all("loss" in r and "batch_psnr" in r for r in rows)
+
+
+def test_image_triplet_dump(tmp_path):
+    """The tf.summary.image analog (model.py:61-69): one PNG strip of
+    input|output|target per log step."""
+    import numpy as np
+
+    from qcnn_gpu_tpu.train.trainer import dump_image_triplet
+
+    rng = np.random.default_rng(0)
+    imgs = [rng.integers(0, 256, (32, 40), np.uint8) for _ in range(3)]
+    path = dump_image_triplet(str(tmp_path), 7, *imgs)
+    assert path.endswith("triplet_0000007.png") or path.endswith(".pgm")
+    from PIL import Image
+
+    strip = np.asarray(Image.open(path).convert("L"))
+    assert strip.shape == (32, 40 * 3 + 8)
+    assert (strip[:, :40] == imgs[0]).all()
+    assert (strip[:, 44:84] == imgs[1]).all()
+    assert (strip[:, 88:] == imgs[2]).all()

@@ -96,6 +96,21 @@ def test_pallas3_odd_batch_and_geometry():
         assert (got == want).all(), (n, h, w, np.sum(got != want))
 
 
+def test_pallas3_interior_tile_gating():
+    """Frames wide/tall enough to contain INTERIOR tiles (whose edge-mask
+    work the kernel skips entirely via pl.when gating) must stay exact —
+    both the gated-skip path and the edge-tile mask path in one frame."""
+    from qcnn_gpu_tpu.ops.pallas_pipeline3 import build_pallas_forward3
+
+    p = synth_engine_params(37)
+    run = build_pallas_forward3(p, th=8, interpret=True)
+    for n, h, w, s in ((1, 48, 800, 1), (2, 40, 740, 2)):
+        x = synth_frames(n, h, w, seed=s)
+        got = np.asarray(run(x))
+        want = O.forward_blu(x, p)
+        assert (got == want).all(), (n, h, w, np.sum(got != want))
+
+
 def test_pallas3_variants():
     """bf16 operand dtype, fori (non-unrolled) tap loop, wc column
     chunking, and extreme frames all stay bit-exact."""

@@ -42,7 +42,8 @@ from qcnn_gpu_tpu.testing import synth_engine_params, synth_frames  # noqa: E402
 
 BASELINE_FPS = 23.6  # reference best at 1080p
 H, W = 1080, 1920
-BATCH = int(os.environ.get("BENCH_BATCH", "4"))
+BATCH = int(os.environ.get("BENCH_BATCH", "16"))  # measured best of the
+# 1->16 batch-scaling curve (bench_matrix.json batch_scaling_1080p)
 ITERS = int(os.environ.get("BENCH_ITERS", "16"))
 IMPL = os.environ.get("BENCH_IMPL", "auto")
 DEPTH = int(os.environ.get("BENCH_DEPTH", "3"))

@@ -113,24 +113,30 @@ def main(out_path="bench_matrix.json"):
 
     # batch-scaling curve @1080p on the shipping kernel (multi-chip
     # projections need a measured per-chip batch basis)
+    curve = {}
     try:
         run = build_tuned(p)
-        curve = {}
-        for b in (1, 2, 4, 8, 16):
-            x = jax.device_put(synth_frames(b, 1080, 1920, seed=2))
-            o = run(x)
-            jax.block_until_ready(o)
-            n = 8
-            t0 = time.perf_counter()
-            for _ in range(n):
-                o = run(x)
-            jax.block_until_ready(o)
-            ms = (time.perf_counter() - t0) / (n * b) * 1000
-            curve[b] = {"ms_per_frame": round(ms, 3), "fps": round(1000 / ms, 1)}
-            print(f"batch {b} @1080p: {ms:.2f} ms/frame", flush=True)
-        report["batch_scaling_1080p"] = curve
     except Exception as e:  # noqa: BLE001
-        report["batch_scaling_1080p"] = {"error": str(e)[:200]}
+        run, curve = None, {"error": str(e)[:200]}
+    if run is not None:
+        for b in (1, 2, 4, 8, 16):
+            try:
+                x = jax.device_put(synth_frames(b, 1080, 1920, seed=2))
+                o = run(x)
+                jax.block_until_ready(o)
+                n = 8
+                t0 = time.perf_counter()
+                for _ in range(n):
+                    o = run(x)
+                jax.block_until_ready(o)
+                ms = (time.perf_counter() - t0) / (n * b) * 1000
+                curve[b] = {"ms_per_frame": round(ms, 3), "fps": round(1000 / ms, 1)}
+                print(f"batch {b} @1080p: {ms:.2f} ms/frame", flush=True)
+            except Exception as e:  # noqa: BLE001
+                # per-batch isolation: one compile-helper flake must not
+                # drop the measured points with it
+                curve[b] = {"error": str(e)[:160]}
+    report["batch_scaling_1080p"] = curve
 
     with open(out_path, "w") as fp:
         json.dump(report, fp, indent=2)

@@ -67,3 +67,32 @@ def test_reference_format_goldens_match_json(qp, goldens):
     assert vals.shape == (2,)
     assert vals[0] == pytest.approx(g["before"], abs=1e-6)
     assert vals[1] == pytest.approx(g["after"], abs=1e-6)
+
+
+def test_cli_run_reproduces_golden(tmp_path, goldens, eval_clip, capsys):
+    """The CLI harness path (cmd_run -> Engine -> metrics log) end-to-end
+    on disk artifacts: YUV files in, committed QP37 model, recon + PSNR
+    out — the `testqvrcnn` analog driven exactly as a user would."""
+    from qcnn_gpu_tpu import cli
+
+    qp = 37
+    anchor = jpeg_anchor(eval_clip, QP_QUALITY[qp])
+    yuv.write_y_as_420(str(tmp_path / "ori.yuv"), eval_clip)
+    yuv.write_y_as_420(str(tmp_path / "anchor.yuv"), anchor)
+    rc = cli.main(
+        [
+            "run",
+            "--ori", str(tmp_path / "ori.yuv"),
+            "--anchor", str(tmp_path / "anchor.yuv"),
+            "--height", "240", "--width", "416",
+            "--frames", str(anchor.shape[0]),
+            "--model", os.path.join(GOLDEN_DIR, f"model_q{qp}.data"),
+            "--qp", str(qp),
+            "--out-dir", str(tmp_path),
+            "--recon", str(tmp_path / "recon.yuv"),
+        ]
+    )
+    assert rc == 0
+    g = goldens["goldens"][str(qp)]
+    recon = yuv.read_y(str(tmp_path / "recon.yuv"), 240, 416, anchor.shape[0])
+    assert yuv.psnr(recon, eval_clip) == pytest.approx(g["after"], abs=0.01)

@@ -203,7 +203,7 @@ def _stage_packed(v_ref, w_ref, kdy, nd, we2, m_out, b_i32, qvec, mask=None,
 
 
 def _make_kernel3(th: int, we: int, mul4: int, shift4: int, unroll: bool = False,
-                  stages: int = 4, wc: int = 1):
+                  stages: int = 4, wc: int = 1, atlas: bool = False):
     we2 = we // 2
     m1 = (th + 8) * we2
     m2 = (th + 4) * we2
@@ -226,6 +226,9 @@ def _make_kernel3(th: int, we: int, mul4: int, shift4: int, unroll: bool = False
         v1s, v2s, v3s,
     ):
       for wi in range(wc):
+        # atlas masks carry no wc axis (atlas implies wc == 1)
+        mkE2 = mkE_ref[0] if atlas else mkE_ref[0, wi]
+        mkO2 = mkO_ref[0] if atlas else mkO_ref[0, wi]
         # ---- S1: ONE pass for both phases; lhs arrives tap-major, the
         # dot contracts lhs dim 0 (Mosaic streams the transposed operand
         # through the MXU natively) ----
@@ -241,7 +244,7 @@ def _make_kernel3(th: int, we: int, mul4: int, shift4: int, unroll: bool = False
             q1b_ref[...], q1m_ref[...], q1s_ref[...],
         ).astype(act_dtype)
         v1 = jnp.pad(v1, ((0, 8), (0, 0)))
-        v1s[...] = _apply_mask(v1, _expand_mask(mkE_ref[0, wi], 64))
+        v1s[...] = _apply_mask(v1, _expand_mask(mkE2, 64))
 
         if stages <= 1:
             emit_cols = 8
@@ -256,7 +259,7 @@ def _make_kernel3(th: int, we: int, mul4: int, shift4: int, unroll: bool = False
             v1s, w2p_ref, 5, 3, we2, m2, b2_ref[...],
             (q2b_ref[...], q2m_ref[...], q2s_ref[...]),
             mask=lambda v: _apply_mask(
-                v, _expand_mask(mkE_ref[0, wi, s2_off : s2_off + m2 + 8, :], 48)
+                v, _expand_mask(mkE2[s2_off : s2_off + m2 + 8, :], 48)
             ),
             unroll=unroll,
         )
@@ -269,7 +272,7 @@ def _make_kernel3(th: int, we: int, mul4: int, shift4: int, unroll: bool = False
         v3s[...] = _stage_packed(
             v2s, w3p_ref, 3, 2, we2, m3, b3_ref[...],
             (q3b_ref[...], q3m_ref[...], q3s_ref[...]),
-            mask=lambda v: _apply_mask(v, _expand_mask(mkO_ref[0, wi], 48)),
+            mask=lambda v: _apply_mask(v, _expand_mask(mkO2, 48)),
             unroll=unroll,
         )
         if stages <= 3:
@@ -314,6 +317,43 @@ def _edge_masks2(nh, nw, th, tw, we2, hb, w, m_rows, row_off, col_off):
     )
     ok = ((gr >= row_lo) & (gr < row_hi))[..., None] & (gc >= 0) & (gc < w)
     return ok
+
+
+def _edge_mask_atlas(nh, nw, th, tw, we2, h, w, m_rows, row_off, col_off):
+    """Canonical per-CLASS masks [64, m_rows, 2] instead of per-tile ones.
+
+    A tile's mask depends only on which frame edges its halo-extended
+    buffer can cross, and all tiles in the same position-class share the
+    exact mask values. Classes are bitmasks rc + 8*cc with bits
+    (first tile, last tile, second-to-last tile) per axis — the second-
+    to-last tile's halo can spill past the frame by up to PAD-1 px when
+    the frame nearly fills the tile grid. The BlockSpec index_map selects
+    the class, so consecutive interior programs reuse ONE resident block
+    and the per-program mask DMA is elided by the pipeline's revisiting
+    optimization."""
+    px = np.arange(m_rows)
+    q = np.arange(2)
+    rr = (px // we2) - row_off
+    gc_rel = (2 * (px % we2) - col_off)[:, None] + q[None, :]
+    atlas = np.ones((64, m_rows, 2), bool)
+    for rc in range(8):
+        ok_r = np.ones(m_rows, bool)
+        if rc & 1:
+            ok_r &= rr >= 0
+        if rc & 2:
+            ok_r &= (nh - 1) * th + rr < h
+        if rc & 4:
+            ok_r &= (nh - 2) * th + rr < h
+        for cc in range(8):
+            ok = np.broadcast_to(ok_r[:, None], (m_rows, 2)).copy()
+            if cc & 1:
+                ok &= gc_rel >= 0
+            if cc & 2:
+                ok &= (nw - 1) * tw + gc_rel < w
+            if cc & 4:
+                ok &= (nw - 2) * tw + gc_rel < w
+            atlas[rc + 8 * cc] = ok
+    return atlas
 
 
 def build_pallas_forward3(
@@ -379,17 +419,44 @@ def build_pallas_forward3(
         a1t = jnp.stack(taps, axis=3)  # [B, nh, nw, 30, m1] — no padding
         a1t = jnp.pad(a1t, ((0, 0),) * 3 + ((0, 2), (0, 0)))
 
-        mkE = _edge_masks2(nh, nw, th, tw, we2, hb, w, m1 + 8, 4, 4).astype(dtype)
-        mkO = _edge_masks2(nh, nw, th, tw, we2, hb, w, m3 + 8, 1, 1).astype(dtype)
-        masks = [mkE, mkO]
-        mask_specs = [
-            pl.BlockSpec(
-                (1, wc, mk.shape[2], 2),
-                lambda bi, hi, wi: (hi, wi, 0, 0),
-                memory_space=pltpu.VMEM,
-            )
-            for mk in masks
-        ]
+        # mask transport: class ATLAS when possible (wc=1, static frame
+        # bounds, tiles big enough that only first/last/second-to-last
+        # tiles can cross a frame edge) — interior programs then reuse a
+        # resident block with no per-program DMA; otherwise per-tile masks
+        atlas = wc == 1 and not isinstance(hb, tuple) and th > 4 and tw > 10
+        if atlas:
+            mkE = _edge_mask_atlas(nh, nw, th, tw, we2, hb, w, m1 + 8, 4, 4)
+            mkO = _edge_mask_atlas(nh, nw, th, tw, we2, hb, w, m3 + 8, 1, 1)
+            masks = [mkE.astype(dtype), mkO.astype(dtype)]
+            spill_r = nh >= 2 and h <= (nh - 1) * th + 3
+            spill_c = nw >= 2 and w <= (nw - 1) * tw + 10
+
+            def mask_idx(bi, hi, wi):
+                rc = jnp.where(hi == 0, 1, 0) + jnp.where(hi == nh - 1, 2, 0)
+                if spill_r:
+                    rc = rc + jnp.where(hi == nh - 2, 4, 0)
+                cc = jnp.where(wi == 0, 1, 0) + jnp.where(wi == nw - 1, 2, 0)
+                if spill_c:
+                    cc = cc + jnp.where(wi == nw - 2, 4, 0)
+                return (rc + 8 * cc, 0, 0)
+
+            mask_specs = [
+                pl.BlockSpec((1, mk.shape[1], 2), mask_idx,
+                             memory_space=pltpu.VMEM)
+                for mk in masks
+            ]
+        else:
+            mkE = _edge_masks2(nh, nw, th, tw, we2, hb, w, m1 + 8, 4, 4).astype(dtype)
+            mkO = _edge_masks2(nh, nw, th, tw, we2, hb, w, m3 + 8, 1, 1).astype(dtype)
+            masks = [mkE, mkO]
+            mask_specs = [
+                pl.BlockSpec(
+                    (1, wc, mk.shape[2], 2),
+                    lambda bi, hi, wi: (hi, wi, 0, 0),
+                    memory_space=pltpu.VMEM,
+                )
+                for mk in masks
+            ]
 
         nwp = -(-nw // wc) * wc
         if nwp != nw:
@@ -399,7 +466,8 @@ def build_pallas_forward3(
             ]
         if "zero_a1" in _debug:  # perf bisection: cut the prep chain
             a1t = jnp.zeros(a1t.shape, a1t.dtype)
-        kernel = _make_kernel3(th, we, pw.mul4, pw.shift4, unroll, stages, wc)
+        kernel = _make_kernel3(th, we, pw.mul4, pw.shift4, unroll, stages, wc,
+                               atlas=atlas)
         out = pl.pallas_call(
             kernel,
             grid=(b, nh, nwp // wc),

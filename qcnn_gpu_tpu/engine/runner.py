@@ -106,7 +106,7 @@ class Engine:
                 self._programs[key] = make_sharded_forward(
                     self._models[qp], self.mesh, impl=self.impl
                 )
-            elif self.impl == "pallas" or (
+            elif self.impl.startswith("pallas") or (
                 self.impl == "auto"
                 and jax.default_backend() != "cpu"
                 and key not in self._pallas_failed
@@ -163,7 +163,7 @@ class Engine:
         except Exception:
             if (
                 self.impl == "auto"
-                and getattr(run, "impl", "") == "pallas"
+                and getattr(run, "impl", "").startswith("pallas")
                 and not demoted
             ):
                 self._pallas_failed_geos.add((key, geo))
@@ -194,7 +194,7 @@ class Engine:
         except Exception:
             if (
                 self.impl != "auto"
-                or getattr(run, "impl", "") != "pallas"
+                or not getattr(run, "impl", "").startswith("pallas")
                 or demoted
             ):
                 raise

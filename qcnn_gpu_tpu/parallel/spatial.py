@@ -75,17 +75,25 @@ def make_sharded_forward(
     true frame edge sits so per-layer zero padding lands exactly there.
     Other impls run the XLA graph (the CPU-mesh test path).
     """
-    use_kernel = impl.startswith("pallas") or (
+    kern = None
+    if impl.startswith("pallas") or (
         impl == "auto" and jax.default_backend() != "cpu"
-    )
-    if use_kernel:
+    ):
         from qcnn_gpu_tpu.ops.pallas_pipeline3 import build_pallas_forward3
         from qcnn_gpu_tpu.ops.tuning import tuned_kwargs
 
         interp = jax.default_backend() == "cpu"
         kw = {"th": 8, **tuned_kwargs(use_file=False)} if interp else tuned_kwargs()
         kw.pop("kernel", None)
-        kern = build_pallas_forward3(p, interpret=interp, row_bounds=True, **kw)
+        try:
+            kern = build_pallas_forward3(p, interpret=interp, row_bounds=True, **kw)
+        except Exception:
+            # 'auto' degrades to the sharded XLA graph on a kernel build
+            # failure (bad tuned config / Mosaic reject); explicit
+            # impl='pallas*' propagates
+            if impl != "auto":
+                raise
+    if kern is not None:
         chosen = "pallas3"
 
         def block_fn(xb):  # xb: [N/dp, H/sp, W] uint8

@@ -55,6 +55,29 @@ def test_sharded_pallas_kernel_bit_exact(dp, sp):
     assert (got == want).all(), f"{np.sum(got != want)} mismatches at mesh {dp}x{sp}"
 
 
+def test_sharded_auto_degrades_on_kernel_build_failure(monkeypatch):
+    """impl='auto' under a mesh must fall back to the sharded XLA graph
+    when the kernel builder raises (bad tuned config / Mosaic reject) —
+    same policy as the single-chip engine."""
+    _need_devices(4)
+    import jax
+
+    from qcnn_gpu_tpu.ops import pallas_pipeline3
+    from qcnn_gpu_tpu.parallel import spatial as spatial_mod
+
+    def broken(*a, **k):
+        raise RuntimeError("Mosaic: failed to legalize")
+
+    monkeypatch.setattr(pallas_pipeline3, "build_pallas_forward3", broken)
+    monkeypatch.setattr(spatial_mod.jax, "default_backend", lambda: "tpu")
+    p = synth_engine_params(37)
+    mesh = make_mesh(2, 2)
+    run = make_sharded_forward(p, mesh, impl="auto")
+    assert run.impl != "pallas3"
+    x = synth_frames(2, 48, 64, seed=1)
+    assert (np.asarray(run(x)) == O.forward_blu(x, p)).all()
+
+
 def test_psnr_sharded_matches_host():
     _need_devices(8)
     from qcnn_gpu_tpu.data import yuv

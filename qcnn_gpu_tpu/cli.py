@@ -285,7 +285,11 @@ def cmd_calibrate_dynamic(args) -> int:
     if args.mode == "hybrid":
         from qcnn_gpu_tpu.models.qvrcnn_dynamic import make_hybrid_forward
 
-        ep = model_files.read_static_qfp_hwcn(args.model)
+        ep = (
+            model_files.read_static_qfp_vect_c(args.model)
+            if args.model_format == "vect_c"
+            else model_files.read_static_qfp_hwcn(args.model)
+        )
         run = make_hybrid_forward(ep)
         max_c1 = 0
         for i in range(frames.shape[0]):
@@ -436,6 +440,8 @@ def build_parser() -> argparse.ArgumentParser:
         "calibrate-dynamic", help="dynamic-path max_u telemetry (save_steps analog)"
     )
     p.add_argument("--model", required=True, help="dynamic-format model file (static qfp for --mode hybrid)")
+    p.add_argument("--model-format", default="vect_c", choices=["vect_c", "hwcn"],
+                   help="static-qfp container for --mode hybrid")
     p.add_argument("--anchor", required=True)
     _add_geometry(p)
     p.add_argument("--out", default="max_u_C1.data")

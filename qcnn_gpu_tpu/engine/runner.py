@@ -99,7 +99,18 @@ class Engine:
             if qp not in self._models:
                 raise KeyError(f"no model loaded for QP{qp}")
             if force_xla:
-                self._programs[key] = make_forward(self._models[qp], impl="xla")
+                # the demotion target must keep the MESH: an unsharded
+                # graph would silently run the global batch on one chip
+                # (and whole-frame XLA is exactly what some toolchains
+                # reject — the tiling fallback is mesh-gated)
+                if self.mesh is not None:
+                    from qcnn_gpu_tpu.parallel.spatial import make_sharded_forward
+
+                    self._programs[key] = make_sharded_forward(
+                        self._models[qp], self.mesh, impl="xla"
+                    )
+                else:
+                    self._programs[key] = make_forward(self._models[qp], impl="xla")
             elif self.mesh is not None:
                 from qcnn_gpu_tpu.parallel.spatial import make_sharded_forward
 

@@ -97,9 +97,10 @@ def test_pallas3_odd_batch_and_geometry():
 
 
 def test_pallas3_interior_tile_gating():
-    """Frames wide/tall enough to contain INTERIOR tiles (whose edge-mask
-    work the kernel skips entirely via pl.when gating) must stay exact —
-    both the gated-skip path and the edge-tile mask path in one frame."""
+    """Frames wide/tall enough to contain INTERIOR tiles must stay exact:
+    interior tiles reuse the all-ones class of the mask ATLAS (their DMA
+    elided by the pipeline) while edge tiles select real edge classes —
+    both paths exercised in one frame."""
     from qcnn_gpu_tpu.ops.pallas_pipeline3 import build_pallas_forward3
 
     p = synth_engine_params(37)

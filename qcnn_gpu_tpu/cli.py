@@ -347,7 +347,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--model", required=True)
     p.add_argument("--model-format", default="vect_c", choices=["vect_c", "hwcn"])
     p.add_argument("--qp", type=int, required=True)
-    p.add_argument("--impl", default="auto", choices=["auto", "bf16", "int", "pallas"])
+    p.add_argument(
+        "--impl",
+        default="auto",
+        # pallas = tuned-file kernel generation; pallas2/pallas3 force the
+        # frame-pair / width-packed fused kernels; xla the plain XLA graph
+        choices=["auto", "bf16", "int", "xla", "pallas", "pallas2", "pallas3"],
+    )
     p.add_argument("--config", default=None, help="JSON Config file (overrides flags)")
     p.add_argument("--mesh", default="", help="dpxsp, e.g. 2x4")
     p.add_argument("--recon", default=None)
@@ -360,7 +366,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--model-format", default="vect_c", choices=["vect_c", "hwcn"])
     p.add_argument("--qps", default="22,27,32,37")
     p.add_argument("--manifest", default=None)
-    p.add_argument("--impl", default="auto")
+    p.add_argument(
+        "--impl",
+        default="auto",
+        choices=["auto", "bf16", "int", "xla", "pallas", "pallas2", "pallas3"],
+    )
     p.add_argument("--out-dir", default=".")
     p.set_defaults(fn=cmd_sweep)
 

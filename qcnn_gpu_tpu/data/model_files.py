@@ -37,6 +37,29 @@ def _open(path_or_fp: PathOrIO, mode: str):
     return path_or_fp, False
 
 
+def _warn_if_residual_zeroed(p: EngineParams, source: PathOrIO) -> EngineParams:
+    """Warn when a static-qfp model's output-layer (mul, shift) zeroes the
+    residual — the failure mode of the reference's stale QP22 table
+    (QuantTable.last_row_stale). Model files carry no ratio/stepw to
+    re-solve against, so the check is the direct one: even the LARGEST
+    accumulator the layer can produce (all int8 inputs at +-127) requants
+    to 0, meaning the engine provably restores nothing."""
+    w4 = np.abs(np.asarray(p.weights[5], dtype=np.int64))
+    u_max = int(w4.sum() * 127 + np.abs(np.asarray(p.biases[5], np.int64)).max())
+    if (u_max * p.mul[5]) >> p.shift[5] == 0:
+        import warnings
+
+        name = source if isinstance(source, str) else getattr(source, "name", "<stream>")
+        warnings.warn(
+            f"{name}: output-layer requant (mul={p.mul[5]}, shift={p.shift[5]})"
+            f" maps even the maximum accumulator {u_max} to residual 0 — the"
+            " model restores nothing (stale quant table? see"
+            " QuantTable.fixed_last_row)",
+            stacklevel=3,
+        )
+    return p
+
+
 # ---------------------------------------------------------------------------
 # Layout converters (replacing mat.cu:97-196 — numpy, not per-element loops)
 # ---------------------------------------------------------------------------
@@ -111,7 +134,7 @@ def read_static_qfp_hwcn(path: PathOrIO) -> EngineParams:
             blus.append(blu)
             muls.append(mul)
             shifts.append(shift)
-        return EngineParams(ws, bs, blus, muls, shifts)
+        return _warn_if_residual_zeroed(EngineParams(ws, bs, blus, muls, shifts), path)
     finally:
         if close:
             fp.close()
@@ -148,7 +171,7 @@ def read_static_qfp_vect_c(path: PathOrIO) -> EngineParams:
             blus.append(blu)
             muls.append(mul)
             shifts.append(shift)
-        return EngineParams(ws, bs, blus, muls, shifts)
+        return _warn_if_residual_zeroed(EngineParams(ws, bs, blus, muls, shifts), path)
     finally:
         if close:
             fp.close()

@@ -131,6 +131,10 @@ class Engine:
                 # tuned FILE is skipped — its tile targets the TPU).
                 interpret = jax.default_backend() == "cpu"
                 kw = {"th": 8, **tuned_kwargs(use_file=False)} if interpret else {}
+                if self.impl in ("pallas2", "pallas3"):
+                    # explicit generation request (CLI --impl pallas2/3)
+                    # beats the tuned file's `kernel` knob
+                    kw["kernel"] = int(self.impl[-1])
                 try:
                     run = build_tuned(
                         self._models[qp],
@@ -244,10 +248,21 @@ class Engine:
         )
         return np.concatenate(outs, axis=0)
 
-    def warmup(self, qp: int, height: int, width: int) -> None:
-        """Compile ahead of the timed region (first-compile is seconds)."""
-        dummy = np.zeros((min(self.batch_frames, 1), height, width), np.uint8)
-        np.asarray(self._run(qp, dummy))
+    def warmup(self, qp: int, height: int, width: int, frames: int = 1) -> None:
+        """Compile EVERY program shape the streaming loop will dispatch,
+        ahead of the timed region (first compiles run seconds-to-minutes
+        through the remote Mosaic helper). restore_stream cuts `frames`
+        into batch_frames-sized batches plus a ragged tail; both shapes
+        must be warm or a compile lands inside run_sequence's timed span
+        — the reference times the whole frame loop (kernel.cu:89-101),
+        and a compile there inflates time_us by orders of magnitude."""
+        bs = self.batch_frames
+        sizes = {min(bs, max(frames, 1))}
+        tail = frames % bs
+        if frames > bs and tail:
+            sizes.add(tail)
+        for n in sorted(sizes):
+            np.asarray(self._run(qp, np.zeros((n, height, width), np.uint8)))
 
     # ---- the testqvrcnn analog (kernel.cu:74-116) ----
     def run_sequence(
@@ -263,7 +278,7 @@ class Engine:
     ) -> RunRecord:
         ori = yuv.read_y(ori_path, height, width, frames)
         anchor = yuv.read_y(anchor_path, height, width, frames)
-        self.warmup(qp, height, width)
+        self.warmup(qp, height, width, frames)
 
         t0 = time.perf_counter()
         recon = self.restore_stream(anchor, qp)

@@ -59,7 +59,12 @@ def pipeline_restore(
                 continue  # keep draining so the producer's q.put never
                 # deadlocks against a full queue after an error
             try:
-                sink(np.asarray(item))
+                # tuple outputs (e.g. the packed-residual transport,
+                # engine/packed.py) fetch component-wise
+                if isinstance(item, (tuple, list)):
+                    sink(tuple(np.asarray(a) for a in item))
+                else:
+                    sink(np.asarray(item))
             except BaseException as e:  # surfaced on the main thread
                 err.append(e)
                 failed = True

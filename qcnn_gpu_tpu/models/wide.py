@@ -1,0 +1,238 @@
+"""EDSR-scale wide restoration CNN — the channel-sharded stretch model.
+
+BASELINE config 5 / SURVEY.md §2.4 P6: QVRCNN's 64 channels fit one chip
+trivially, so tensor parallelism there is pure demonstration. This model
+family is the configuration TP exists for — a deep, WIDE (≥256-channel)
+restoration net whose per-layer weights and arithmetic exceed one chip's
+sweet spot and shard naturally over channels.
+
+Topology (configurable): head 3x3 conv 1->C, `blocks` 3x3 convs C->C, tail
+3x3 conv C->1; every hidden layer uses the BLU+requant epilogue of the
+QVRCNN engine (SURVEY §5.1 item 4, mat.cu:262-314 semantics) and the tail
+uses the final-residual requant (item 5, cnn.cu:507-523); output is a
+residual added to the input frame, clamped to [0, 255]. All arithmetic is
+int8 x int8 -> int32 with the identical fixed-point contract, so the whole
+existing numeric stack is reused unchanged: `quant.solver` chains the
+(mul, shift) tables exactly as for QVRCNN (quantization.py:25-64 analog,
+minus concat equalization — the chain is linear), `ops.requant` provides
+the device epilogues, and `models.oracle`'s integer primitives are the
+bit-exactness spec.
+
+Quantization scale note: blu_q for a 256-channel layer can reach ~2^21
+(fan-in 9*256 at ratio ~16k); accumulators stay far below 2^25 so the
+int32 device path and the float64-BLAS oracle both hold exactly, same
+argument as oracle.conv_int's.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Sequence
+
+import numpy as np
+
+from qcnn_gpu_tpu.models import oracle as O
+from qcnn_gpu_tpu.quant.params import LayerQuant
+from qcnn_gpu_tpu.quant.solver import solve_last, solve_layer, stepw_from_weights
+
+
+@dataclasses.dataclass
+class WideParams:
+    """INT8 wide-net parameters: per-layer int8 weights [3,3,cin,cout],
+    int32 biases, and the fixed-point requant table. Layers in order:
+    head, blocks x body, tail. blu_q/mul/shift rows cover head + body;
+    (mul_last, shift_last) is the tail's residual requant."""
+
+    weights: List[np.ndarray]
+    biases: List[np.ndarray]
+    blu_q: List[int]
+    mul: List[int]
+    shift: List[int]
+    mul_last: int
+    shift_last: int
+
+    @property
+    def channels(self) -> int:
+        return self.weights[0].shape[3]
+
+    @property
+    def blocks(self) -> int:
+        return len(self.weights) - 2
+
+    # ---- persistence (npz; no reference format exists for this family) --
+    def save(self, path: str) -> None:
+        arrs = {"mul_last": self.mul_last, "shift_last": self.shift_last}
+        for i, (w, b) in enumerate(zip(self.weights, self.biases)):
+            arrs[f"w{i}"] = w
+            arrs[f"b{i}"] = b
+        arrs["blu_q"] = np.asarray(self.blu_q, np.int64)
+        arrs["mul"] = np.asarray(self.mul, np.int64)
+        arrs["shift"] = np.asarray(self.shift, np.int64)
+        np.savez(path, **arrs)
+
+    @classmethod
+    def load(cls, path: str) -> "WideParams":
+        z = np.load(path)
+        n = sum(1 for k in z.files if k.startswith("w"))
+        return cls(
+            weights=[z[f"w{i}"] for i in range(n)],
+            biases=[z[f"b{i}"] for i in range(n)],
+            blu_q=[int(v) for v in z["blu_q"]],
+            mul=[int(v) for v in z["mul"]],
+            shift=[int(v) for v in z["shift"]],
+            mul_last=int(z["mul_last"]),
+            shift_last=int(z["shift_last"]),
+        )
+
+
+def solve_wide_table(
+    stepw: Sequence[float], blu: Sequence[float]
+) -> List[LayerQuant]:
+    """Chain the fixed-point solve through the linear wide graph: head +
+    body layers via solve_layer (BLU window), tail via solve_last against
+    final pixel scale 255 — the straight-line analog of
+    solver.solve_network (quantization.py:55-64 without concat rows)."""
+    rows = []
+    ratio = 255.0
+    for sw, bl in zip(stepw[:-1], blu[:-1]):
+        row = solve_layer(ratio, sw, bl)
+        rows.append(row)
+        ratio = ratio / row.stepw * row.mul / 2.0**row.shift
+    rows.append(solve_last(ratio, stepw[-1]))
+    return rows
+
+
+def quantize_wide(
+    ws_float: Sequence[np.ndarray],
+    bs_float: Sequence[np.ndarray],
+    blu: Sequence[float],
+    wbits: int = 8,
+) -> WideParams:
+    """Float weights + BLU bounds -> INT8 WideParams via the real solver.
+
+    Same recipe as engine/calibrate.quantize_model: w_int = round(w/stepw)
+    on the signed grid; b_int = round(b * ratio_in / stepw) so the bias
+    lands in the accumulator domain (model.py:199-202 / cnn.cu:139 analog).
+    """
+    stepw = stepw_from_weights(list(ws_float), bits=wbits)
+    rows = solve_wide_table(stepw, list(blu))
+    for i, row in enumerate(rows):
+        # int32 device-epilogue headroom: the requant product reaches
+        # ~127.5*2^shift for in-window accumulators; shift <= 24 keeps it
+        # under 2^31 (the same bound the reference's tables obey)
+        if row.shift > 24:
+            raise ValueError(
+                f"layer {i}: solved shift={row.shift} > 24 overflows the"
+                " int32 requant product — rescale the float weights/BLU"
+            )
+    lim = (1 << (wbits - 1)) - 1
+    ws, bs = [], []
+    for w, b, row in zip(ws_float, bs_float, rows):
+        ws.append(
+            np.clip(np.round(np.asarray(w) / row.stepw), -lim - 1, lim).astype(np.int8)
+        )
+        bs.append(
+            np.round(np.asarray(b) * row.ratio / row.stepw).astype(np.int32)
+        )
+    return WideParams(
+        weights=ws,
+        biases=bs,
+        blu_q=[r.blu_q for r in rows[:-1]],
+        mul=[r.mul for r in rows[:-1]],
+        shift=[r.shift for r in rows[:-1]],
+        mul_last=rows[-1].mul,
+        shift_last=rows[-1].shift,
+    )
+
+
+def synth_wide_params(
+    channels: int = 256, blocks: int = 10, seed: int = 0, wbits: int = 8
+) -> WideParams:
+    """Realistically-scaled synthetic WideParams (testing/bench fixture,
+    same role as testing.synth_engine_params)."""
+    rng = np.random.default_rng(seed)
+    shapes = (
+        [(3, 3, 1, channels)]
+        + [(3, 3, channels, channels)] * blocks
+        + [(3, 3, channels, 1)]
+    )
+    ws, bs = [], []
+    for shp in shapes:
+        fan_in = shp[0] * shp[1] * shp[2]
+        ws.append(rng.normal(0, 0.6 / np.sqrt(fan_in), shp).astype(np.float32))
+        bs.append(rng.normal(0, 0.01, shp[3]).astype(np.float32))
+    blu = [2.0] * (len(shapes) - 1) + [0.0]
+    return quantize_wide(ws, bs, blu, wbits=wbits)
+
+
+def float_forward(ws, bs, x_norm, blu: float = 2.0):
+    """Float twin for training, in the reference's normalized pixel domain
+    (x_norm = (x_uint8 - 128)/255, model.py:32-33 contract; ratio = 255
+    maps it onto the integer engine's input scale exactly). Hidden layers
+    clip to [0, blu] (BLU); the tail returns the raw float residual."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    dn = ("NHWC", "HWIO", "NHWC")
+    v = x_norm
+    for i in range(len(ws) - 1):
+        u = lax.conv_general_dilated(v, ws[i], (1, 1), "SAME", dimension_numbers=dn)
+        v = jnp.clip(u + bs[i], 0.0, blu)
+    u = lax.conv_general_dilated(v, ws[-1], (1, 1), "SAME", dimension_numbers=dn)
+    return u + bs[-1]
+
+
+# ---------------------------------------------------------------------------
+# NumPy oracle (the executable spec; same primitives as oracle.forward_blu)
+# ---------------------------------------------------------------------------
+
+
+def forward_wide(x_uint8: np.ndarray, p: WideParams) -> np.ndarray:
+    """Bit-exact integer reference: uint8 [N,H,W] -> restored uint8."""
+    squeeze = x_uint8.ndim == 3
+    x4 = x_uint8[..., None] if squeeze else x_uint8
+    v = O.preprocess(x4)
+    for i in range(len(p.weights) - 1):
+        u = O.conv_int(v, p.weights[i], p.biases[i])
+        v = O.blu_requant(u, p.blu_q[i], p.mul[i], p.shift[i])
+    u = O.conv_int(v, p.weights[-1], p.biases[-1])
+    res = O.final_residual_requant(u, p.mul_last, p.shift_last)
+    rec = O.apply_residual(x4, res)
+    return rec[..., 0] if squeeze else rec
+
+
+# ---------------------------------------------------------------------------
+# XLA forward (single chip / data parallel)
+# ---------------------------------------------------------------------------
+
+
+def make_wide_forward(p: WideParams):
+    """Jitted fn(uint8 [N,H,W]) -> uint8 [N,H,W], bit-exact vs
+    forward_wide. Plain int8 XLA convs with int32 accumulation — at 256+
+    channels the MXU is fully fed without any Pallas help (K=2304 per
+    body conv), so XLA IS the fast path for this family."""
+    import jax
+    import jax.numpy as jnp
+
+    from qcnn_gpu_tpu.models.qvrcnn import _conv_int
+    from qcnn_gpu_tpu.ops.requant import (
+        apply_residual_u8,
+        blu_requant_i32,
+        final_residual_i32,
+    )
+
+    ws = [jnp.asarray(w) for w in p.weights]
+    bs = [jnp.asarray(b, jnp.int32) for b in p.biases]
+
+    @jax.jit
+    def run(x_uint8):
+        v = x_uint8[..., None].astype(jnp.int32) - 128
+        for i in range(len(ws) - 1):
+            u = _conv_int(v, ws[i], bs[i])
+            v = blu_requant_i32(u, p.blu_q[i], p.mul[i], p.shift[i])
+        u = _conv_int(v, ws[-1], bs[-1])
+        res = final_residual_i32(u, p.mul_last, p.shift_last)[..., 0]
+        return apply_residual_u8(x_uint8, res)
+
+    run.impl = "wide-int"
+    return run

@@ -139,3 +139,93 @@ def make_tp_int8_forward(p, mesh: Mesh, axis: str = "sp"):
     run.mesh = mesh
     run.impl = f"tp{tp}-int8"
     return run
+
+
+def make_tp_wide_forward(p, mesh: Mesh, axis: str = "sp"):
+    """Channel-sharded INT8 wide net (models/wide.py) — TP at the scale it
+    exists for (EDSR-class, 256+ channels; BASELINE config 5).
+
+    Layers alternate Megatron column/row parallelism:
+      * head (1->C) column-parallel: each device computes C/tp output
+        channels; its BLU requant is per-layer scalar, so the local slice
+        requants independently — no communication;
+      * body convs alternate row-parallel (input channels sharded, ONE
+        int32 psum rebuilds the exact accumulator before the requant) and
+        column-parallel (no comms);
+      * tail (C->1) row-parallel with the final residual requant after
+        its psum.
+
+    With this pairing a body of B blocks costs ceil((B+1)/2) psums total.
+    Bit-exact vs forward_wide (integer psum is exact; every requant sees
+    the same accumulator as the unsharded graph). Requires channels % tp
+    == 0. Returns fn(uint8 [N,H,W]) -> uint8 [N,H,W].
+    """
+    from qcnn_gpu_tpu.models.qvrcnn import _conv_int
+    from qcnn_gpu_tpu.ops.requant import (
+        apply_residual_u8,
+        blu_requant_i32,
+        final_residual_i32,
+    )
+
+    tp = mesh.shape[axis]
+    c = p.channels
+    assert c % tp == 0, f"tp={tp} must divide channels={c}"
+    n_layers = len(p.weights)
+
+    # The sharding chain admits no choice: a column-parallel layer leaves
+    # its output channel-sharded, which is exactly a row-parallel layer's
+    # input contract, whose psum leaves the output replicated — the
+    # column-parallel input contract. The head consumes the replicated
+    # frame, so layer i is 'col' iff i is even. The tail (cout=1) is
+    # row-parallel when its index is odd; at an even index its input is
+    # replicated and 1 output channel cannot be column-sharded, so it runs
+    # replicated ('rep': full weights, no communication).
+    modes = ["col" if i % 2 == 0 else "row" for i in range(n_layers - 1)]
+    modes.append("row" if (n_layers - 1) % 2 == 1 else "rep")
+
+    def block(x, *flat):
+        ws = flat[:n_layers]
+        bs = flat[n_layers:]
+        v = x
+        for i in range(n_layers):
+            if modes[i] == "row":
+                u = lax.psum(
+                    _conv_int(v, ws[i], jnp.zeros((), jnp.int32)), axis
+                ) + bs[i]
+            else:  # col / rep: purely local
+                u = _conv_int(v, ws[i], bs[i])
+            if i < n_layers - 1:
+                v = blu_requant_i32(u, p.blu_q[i], p.mul[i], p.shift[i])
+        return final_residual_i32(u, p.mul_last, p.shift_last)[..., 0]
+
+    w_specs, b_specs = [], []
+    for m in modes:
+        if m == "col":
+            w_specs.append(P(None, None, None, axis))
+            b_specs.append(P(axis))
+        elif m == "row":
+            w_specs.append(P(None, None, axis, None))
+            b_specs.append(P())
+        else:  # rep
+            w_specs.append(P())
+            b_specs.append(P())
+
+    f = shard_map(
+        block,
+        mesh=mesh,
+        in_specs=(P(), *w_specs, *b_specs),
+        out_specs=P(),
+        check_rep=False,
+    )
+    ws = [jnp.asarray(w) for w in p.weights]
+    bs = [jnp.asarray(b, jnp.int32) for b in p.biases]
+
+    @jax.jit
+    def run(x_uint8):
+        x = x_uint8[..., None].astype(jnp.int32) - 128
+        res = f(x, *ws, *bs)
+        return apply_residual_u8(x_uint8, res)
+
+    run.mesh = mesh
+    run.impl = f"tp{tp}-wide-int8"
+    return run

@@ -71,12 +71,66 @@ class QuantTable:
             a == b for a, b in zip(self.rows, other.rows)
         )
 
+    # ---- stale-table hazard (the shipped QP22 pickle) ----
+    def last_row_stale(self):
+        """The corrected output-layer row if the stored (mul, shift) pair
+        zeroes the residual, else None.
+
+        The reference's shipped quant_params22.data carries a stale
+        shift=24 in its last row: its requant scale mul/2^shift is 256x
+        below the value the solver derives from the SAME row's
+        ratio/stepw (training/quantization.py:50-53 solves the output
+        layer against final ratio 255). An engine built from the raw row
+        restores NOTHING — the residual is identically zero — while
+        every load/run step looks healthy. Scales are compared rather
+        than raw pairs because distinct (mul, shift) can be equivalent:
+        QP27 ships (1, 12) where the solver yields (2, 13), same scale."""
+        import dataclasses as _dc
+
+        from qcnn_gpu_tpu.quant.solver import solve_last
+
+        r = self.rows[5]
+        s = solve_last(r.ratio, r.stepw)
+        have, want = r.mul / 2.0**r.shift, s.mul / 2.0**s.shift
+        if not (want / 1.5 <= have <= want * 1.5):
+            return _dc.replace(r, mul=s.mul, shift=s.shift)
+        return None
+
+    def fixed_last_row(self) -> "QuantTable":
+        """This table with a stale output row replaced by the re-solved
+        (mul, shift); stepw/blu stay as stored so the weight grid is
+        untouched. Returns self when the stored row is healthy."""
+        fix = self.last_row_stale()
+        if fix is None:
+            return self
+        return QuantTable(list(self.rows[:5]) + [fix])
+
+    @classmethod
+    def _checked(cls, rows, source: str) -> "QuantTable":
+        table = cls(rows)
+        try:
+            fix = table.last_row_stale()
+        except Exception:
+            fix = None  # a malformed row must not make loading fatal
+        if fix is not None:
+            import warnings
+
+            r = table.rows[5]
+            warnings.warn(
+                f"{source}: output-layer requant (mul={r.mul}, shift={r.shift})"
+                f" zeroes the residual (scale {r.mul / 2.0**r.shift:.3g} vs"
+                f" solved {fix.mul}/2^{fix.shift}); use"
+                " QuantTable.fixed_last_row() for the re-solved pair",
+                stacklevel=3,
+            )
+        return table
+
     # ---- pickle format (quant_params{QP}.data) ----
     @classmethod
     def load_pickle(cls, path: str) -> "QuantTable":
         with open(path, "rb") as fp:
             raw = pickle.load(fp)
-        return cls([LayerQuant.from_seq(r) for r in raw])
+        return cls._checked([LayerQuant.from_seq(r) for r in raw], str(path))
 
     def save_pickle(self, path: str) -> None:
         with open(path, "wb") as fp:
@@ -89,7 +143,7 @@ class QuantTable:
         with open(path, "rb") as fp:
             for _ in range(6):
                 rows.append(LayerQuant.from_seq(struct.unpack("6d", fp.read(48))))
-        return cls(rows)
+        return cls._checked(rows, str(path))
 
     def save_packed(self, path: str) -> None:
         with open(path, "wb") as fp:

@@ -45,18 +45,14 @@ def synth_float_weights(seed: int = 0, scale: float = 0.06):
 
 
 def synth_engine_params(qp: int = 37, seed: int = 0) -> EngineParams:
-    """EngineParams with the real QP table and synthesized int8 weights."""
-    table = load_table(qp)
-    ws, bs = synth_float_weights(seed)
-    p = EngineParams.from_float(ws, bs, table)
-    # QP22's pickled last row carries a stale shift=24 that would zero the
-    # residual (see quant/solver.py docstring); patch it to the solved pair.
-    if qp == 22:
-        from qcnn_gpu_tpu.quant.solver import solve_last
+    """EngineParams with the real QP table and synthesized int8 weights.
 
-        row = solve_last(table[5].ratio, table[5].stepw)
-        p.mul[5], p.shift[5] = row.mul, row.shift
-    return p
+    fixed_last_row() repairs QP22's stale shift=24 output row (which would
+    zero the residual, see QuantTable.last_row_stale); the other QPs pass
+    through unchanged."""
+    table = load_table(qp).fixed_last_row()
+    ws, bs = synth_float_weights(seed)
+    return EngineParams.from_float(ws, bs, table)
 
 
 def synth_dynamic_params(qp: int = 37, seed: int = 0) -> DynamicParams:

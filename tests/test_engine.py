@@ -265,3 +265,53 @@ def test_engine_demotes_pallas_build_failure(monkeypatch):
     eng2.set_model(37, p)
     with pytest.raises(RuntimeError, match="legalize"):
         eng2.restore(frames, qp=37)
+
+
+def test_warmup_covers_streaming_shapes(clip, tmp_path):
+    """r2 timing bug: warmup always warmed batch 1, so run_sequence
+    compiled the batch_frames-sized program INSIDE the timed region.
+    Every shape restore_stream dispatches (full batch + ragged tail) must
+    be dispatched by warmup first."""
+    _, _, _, anchor = clip  # 3 frames
+    p = synth_engine_params(37)
+    eng = Engine(impl="int", out_dir=str(tmp_path), batch_frames=2)
+    eng.set_model(37, p)
+
+    seen = []
+    orig = eng._run
+    eng._run = lambda qp, frames: (seen.append(frames.shape), orig(qp, frames))[1]
+
+    eng.warmup(37, 48, 64, frames=3)
+    warm = set(seen)
+    assert warm == {(2, 48, 64), (1, 48, 64)}  # full batch AND tail
+
+    seen.clear()
+    eng.restore_stream(anchor, 37)
+    assert set(seen) <= warm, f"unwarmed shapes dispatched: {set(seen) - warm}"
+
+    # frames < batch_frames: only the small shape is warmed (not batch 2)
+    seen.clear()
+    eng.warmup(37, 48, 64, frames=1)
+    assert set(seen) == {(1, 48, 64)}
+
+
+def test_cli_run_impl_pallas3(tmp_path, clip):
+    """The shipping kernel is selectable from the CLI; on CPU the engine
+    builds it in Pallas interpret mode and stays bit-exact end-to-end."""
+    from qcnn_gpu_tpu import cli
+
+    ori_p, anc_p, _, anchor = clip
+    p = synth_engine_params(37)
+    vect = str(tmp_path / "m.vectc")
+    model_files.write_static_qfp_vect_c(vect, p)
+    rc = cli.main(
+        [
+            "run", "--ori", ori_p, "--anchor", anc_p, "--height", "48",
+            "--width", "64", "--frames", "3", "--model", vect, "--qp", "37",
+            "--impl", "pallas3", "--out-dir", str(tmp_path),
+            "--recon", str(tmp_path / "r3.yuv"),
+        ]
+    )
+    assert rc == 0
+    recon = yuv.read_y(str(tmp_path / "r3.yuv"), 48, 64)
+    assert (recon == O.forward_blu(anchor, p)).all()

@@ -110,7 +110,7 @@ def main():
         from qcnn_gpu_tpu.ops.tuning import build_tuned
 
         if IMPL != "pallas2":
-            candidates.append(("pallas3", lambda: build_tuned(p, kernel=3)))
+            candidates.append(("pallas3", lambda: build_tuned(p, kernel=3, h=H, w=W)))
         if IMPL != "pallas3":
             # v2's own sweep-certified best (th=64/we=256/wc=2) — the tuned
             # file's knobs belong to v3 and would detune the fallback
@@ -256,9 +256,25 @@ def main():
     if (H, W) == (1080, 1920):  # skip on overridden (smoke) geometry
         try:
             f240 = synth_frames(16, 240, 416, seed=3)
-            out = run(jax.device_put(f240))
+            run240 = run
+            # a per-geometry tuned entry for the 240p class gets its own
+            # build — gated by the same exactness check as the main run
+            try:
+                from qcnn_gpu_tpu.ops.tuning import geometry_class
+
+                if getattr(run, "impl", "").startswith("pallas") and (
+                    geometry_class(240, 416) != geometry_class(H, W)
+                ):
+                    cand = build_tuned(p, kernel=3, h=240, w=416)
+                    got = np.asarray(cand(jax.device_put(f240)))
+                    gold240 = np.asarray(make_forward(p, impl="auto")(f240))
+                    if (got == gold240).all():
+                        run240 = cand
+            except Exception:
+                pass
+            out = run240(jax.device_put(f240))
             out.block_until_ready()  # compile outside the timed window
-            h240 = host_section(run, f240, 83.3, 4, HOST_BUDGET_S / 2)
+            h240 = host_section(run240, f240, 83.3, 4, HOST_BUDGET_S / 2)
             d240 = {k + "_416x240": v for k, v in h240.items()}
         except Exception as e:
             d240 = {"fps_incl_host_transfers_416x240": f"error: {type(e).__name__}"}

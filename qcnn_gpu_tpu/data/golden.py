@@ -76,3 +76,74 @@ def golden_clip():
     generator script and the regression test."""
     img = hopper_luma()
     return pan_clip(img, N_TRAIN, 0.0), pan_clip(img, N_EVAL, 0.37)
+
+
+# ---------------------------------------------------------------------------
+# Second golden content + geometry (VERDICT r2 item 8): a multi-region
+# composite with motion, at the JCT-VC class-C geometry (832x480), so the
+# regression goldens cover (a) content the models never trained on and
+# (b) the atlas spill / tiling code paths a 240p clip never exercises.
+# ---------------------------------------------------------------------------
+
+H2, W2 = 480, 832
+N_EVAL2 = 4
+
+
+def mri_luma() -> np.ndarray:
+    """s1045.ima.gz (matplotlib sample data): a 256x256 MRI slice —
+    a second real-world content family (smooth anatomy + sharp skull
+    edges), offline-deterministic."""
+    import gzip
+
+    import matplotlib
+
+    path = os.path.join(
+        os.path.dirname(matplotlib.__file__), "mpl-data", "sample_data",
+        "s1045.ima.gz",
+    )
+    img = np.frombuffer(gzip.open(path).read(), np.uint16).reshape(256, 256)
+    return (img.astype(np.float64) * (255.0 / max(int(img.max()), 1))).astype(
+        np.uint8
+    )
+
+
+def dem_luma() -> np.ndarray:
+    """jacksboro_fault_dem.npz elevation (344x403 int16) rendered as luma —
+    terrain ridges: long smooth gradients, the opposite texture statistics
+    of the photo/MRI regions."""
+    import matplotlib
+
+    path = os.path.join(
+        os.path.dirname(matplotlib.__file__), "mpl-data", "sample_data",
+        "jacksboro_fault_dem.npz",
+    )
+    el = np.load(path)["elevation"].astype(np.float64)
+    lo, hi = el.min(), el.max()
+    return ((el - lo) * (255.0 / (hi - lo))).astype(np.uint8)
+
+
+def composite_canvas() -> np.ndarray:
+    """Deterministic [720, 1152] uint8 canvas: tiled DEM background with
+    MRI and photo regions pasted at fixed offsets."""
+    dem = dem_luma()
+    canvas = np.tile(dem, (3, 3))[:720, :1152].copy()
+    mri = mri_luma()
+    hop = hopper_luma()
+    canvas[40:296, 60:316] = mri
+    canvas[300:556, 700:956] = mri[::-1, ::-1]  # rotated copy: new phase
+    canvas[120:420, 380:636] = hop[100:400, 128:384]
+    return canvas
+
+
+def composite_clip(n: int = N_EVAL2, phase: float = 0.0) -> np.ndarray:
+    """Deterministic camera pan over the composite at 832x480 — motion
+    across region boundaries so every frame mixes the content families
+    differently (train/eval distributions differ by construction)."""
+    img = composite_canvas()
+    ih, iw = img.shape
+    t = (np.arange(n) + phase) / max(n, 1)
+    y0 = np.round(t * (ih - H2)).astype(int)
+    x0 = np.round((0.5 + 0.5 * np.cos(2 * np.pi * t)) * (iw - W2)).astype(int)
+    return np.stack(
+        [img[y : y + H2, x : x + W2] for y, x in zip(y0, x0)]
+    )

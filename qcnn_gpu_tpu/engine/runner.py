@@ -91,8 +91,24 @@ class Engine:
                 k: v for k, v in self._programs.items() if k[0] != qp
             }
 
-    def _program(self, qp: int, force_xla: bool = False):
-        key = (qp, self.impl, id(self.mesh))
+    def _program(self, qp: int, force_xla: bool = False, geo=None):
+        # the tuned table may carry per-geometry tile configs; a pallas
+        # program built for the 240p class must not serve 4K frames, so
+        # the geometry CLASS (not the exact shape) keys the cache
+        geo_cls = None
+        if (
+            geo is not None
+            and self.mesh is None
+            and not force_xla
+            and (
+                self.impl.startswith("pallas")
+                or (self.impl == "auto" and jax.default_backend() != "cpu")
+            )
+        ):
+            from qcnn_gpu_tpu.ops.tuning import geometry_class
+
+            geo_cls = geometry_class(*geo)
+        key = (qp, self.impl, id(self.mesh), geo_cls)
         if force_xla:
             key = key + ("xla",)
         if key not in self._programs:
@@ -135,6 +151,9 @@ class Engine:
                     # explicit generation request (CLI --impl pallas2/3)
                     # beats the tuned file's `kernel` knob
                     kw["kernel"] = int(self.impl[-1])
+                if geo is not None and not interpret:
+                    kw.setdefault("h", geo[0])
+                    kw.setdefault("w", geo[1])
                 try:
                     run = build_tuned(
                         self._models[qp],
@@ -149,7 +168,7 @@ class Engine:
                     if self.impl != "auto":
                         raise
                     self._pallas_failed.add(key)
-                    return self._program(qp)
+                    return self._program(qp, geo=geo)
                 run.impl = "pallas"
                 self._programs[key] = run
             else:
@@ -172,7 +191,8 @@ class Engine:
         if (key, geo) in self._tiled_geos:
             return self._run_tiled(qp, frames)
         demoted = (key, geo) in self._pallas_failed_geos
-        run = self._program(qp, force_xla=demoted)
+        run = self._program(qp, force_xla=demoted, geo=geo)
+        self._last_impl = getattr(run, "impl", self.impl)
         try:
             return run(frames)
         except Exception:
@@ -203,7 +223,7 @@ class Engine:
         key = (qp, self.impl, id(self.mesh))
         geo = tuple(frames.shape[-2:])
         demoted = (key, geo) in self._pallas_failed_geos
-        run = self._program(qp, force_xla=demoted)
+        run = self._program(qp, force_xla=demoted, geo=geo)
         try:
             return run(frames)
         except Exception:
@@ -293,7 +313,9 @@ class Engine:
             psnr_before=yuv.psnr(anchor, ori),
             psnr_after=yuv.psnr(recon, ori),
             time_us=time_us,
-            impl=getattr(self._program(qp), "impl", self.impl),
+            # the impl that actually served the stream (re-calling _program
+            # here without the geometry could key a fresh compile)
+            impl=getattr(self, "_last_impl", self.impl),
             mesh="" if self.mesh is None else "x".join(map(str, self.mesh.devices.shape)),
         )
         self.metrics.append(rec)

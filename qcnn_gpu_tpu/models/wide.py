@@ -85,17 +85,52 @@ class WideParams:
         )
 
 
+def _solve_layer_capped(ratio: float, stepw: float, blu: float,
+                        cap: int = 24) -> LayerQuant:
+    """solve_layer with the shift capped for int32 device headroom.
+
+    The reference's window search (quantization.py:5-14) falls back to
+    shift=27 when no candidate lands in (127, 127.5] — harmless for its
+    float-accumulator build, but (u + bias)*mul then reaches ~127.5*2^27
+    and wraps int32 on the TPU path. Since solve_layer RECENTERS the BLU
+    bound from the chosen (mul, shift) (int 127 == the clip by
+    construction), any sufficiently precise pair is self-consistent: cap
+    the shift at 24 (product <= ~127.5*2^24 < 2^31) and re-derive. blu_q
+    is then nudged down until the requant of blu_q itself is <= 127, so
+    the int8 range contract holds exactly."""
+    row = solve_layer(ratio, stepw, blu)
+    if row.shift > cap:
+        blu_q0 = round(blu * ratio / stepw)
+        mul = max(1, round(127.5 * 2.0**cap / blu_q0))
+        blu_adj = 127.0 * 2.0**cap / mul * stepw / ratio
+        blu_q = round(blu_adj * ratio / stepw)
+        row = LayerQuant(stepw, ratio, blu_adj, blu_q, mul, cap)
+    # exact int8 contract: requant(blu_q) must not exceed 127
+    bias = (1 << (row.shift - 1)) // row.mul
+    for _ in range(4):
+        if ((row.blu_q + bias) * row.mul) >> row.shift <= 127:
+            break
+        row = LayerQuant(row.stepw, row.ratio, row.blu_adj,
+                         row.blu_q - 1, row.mul, row.shift)
+    if (row.blu_q + bias) * row.mul >= 2**31:
+        raise ValueError(
+            f"blu_q={row.blu_q} x mul={row.mul} overflows int32 even at "
+            f"shift={row.shift} — rescale the float weights/BLU"
+        )
+    return row
+
+
 def solve_wide_table(
     stepw: Sequence[float], blu: Sequence[float]
 ) -> List[LayerQuant]:
     """Chain the fixed-point solve through the linear wide graph: head +
-    body layers via solve_layer (BLU window), tail via solve_last against
-    final pixel scale 255 — the straight-line analog of
-    solver.solve_network (quantization.py:55-64 without concat rows)."""
+    body layers via the shift-capped solve_layer (BLU window), tail via
+    solve_last against final pixel scale 255 — the straight-line analog
+    of solver.solve_network (quantization.py:55-64 without concat rows)."""
     rows = []
     ratio = 255.0
     for sw, bl in zip(stepw[:-1], blu[:-1]):
-        row = solve_layer(ratio, sw, bl)
+        row = _solve_layer_capped(ratio, sw, bl)
         rows.append(row)
         ratio = ratio / row.stepw * row.mul / 2.0**row.shift
     rows.append(solve_last(ratio, stepw[-1]))
@@ -116,15 +151,6 @@ def quantize_wide(
     """
     stepw = stepw_from_weights(list(ws_float), bits=wbits)
     rows = solve_wide_table(stepw, list(blu))
-    for i, row in enumerate(rows):
-        # int32 device-epilogue headroom: the requant product reaches
-        # ~127.5*2^shift for in-window accumulators; shift <= 24 keeps it
-        # under 2^31 (the same bound the reference's tables obey)
-        if row.shift > 24:
-            raise ValueError(
-                f"layer {i}: solved shift={row.shift} > 24 overflows the"
-                " int32 requant product — rescale the float weights/BLU"
-            )
     lim = (1 << (wbits - 1)) - 1
     ws, bs = [], []
     for w, b, row in zip(ws_float, bs_float, rows):
@@ -133,6 +159,17 @@ def quantize_wide(
         )
         bs.append(
             np.round(np.asarray(b) * row.ratio / row.stepw).astype(np.int32)
+        )
+    # tail int32 headroom: final_residual_i32 computes u*mul in int32;
+    # bound u by the worst-case accumulator of the quantized tail weights
+    u_max = int(
+        np.abs(ws[-1].astype(np.int64)).sum() * 127
+        + np.abs(bs[-1].astype(np.int64)).max()
+    )
+    if u_max * rows[-1].mul >= 2**30:
+        raise ValueError(
+            f"tail mul={rows[-1].mul} x max accumulator {u_max} overflows"
+            " the int32 residual requant — rescale the float weights"
         )
     return WideParams(
         weights=ws,

@@ -203,7 +203,15 @@ def _stage_packed(v_ref, w_ref, kdy, nd, we2, m_out, b_i32, qvec, mask=None,
 
 
 def _make_kernel3(th: int, we: int, mul4: int, shift4: int, unroll: bool = False,
-                  stages: int = 4, wc: int = 1, atlas: bool = False):
+                  stages: int = 4, wc: int = 1, atlas: bool = False,
+                  masked: bool = True):
+    """masked=False emits the INTERIOR-tile variant: no mask operands in
+    the signature and no mask multiplies in any stage — tiles whose
+    halo-extended buffer cannot cross a frame edge compute identical
+    values with or without masks (their masks are all-ones), and the mask
+    applies were measured at ~20% of kernel time (PARITY.md no_mask
+    ablation). Edge tiles keep the masked variant via the band-split
+    dispatch in build_pallas_forward3."""
     we2 = we // 2
     m1 = (th + 8) * we2
     m2 = (th + 4) * we2
@@ -211,7 +219,36 @@ def _make_kernel3(th: int, we: int, mul4: int, shift4: int, unroll: bool = False
     m4 = th * we2
     assert mul4 <= 127, f"final mul {mul4} too large for int32 requant"
 
-    def kernel(
+    def kernel(*refs):
+        if masked:
+            a1t_ref, mkE_ref, mkO_ref = refs[0], refs[1], refs[2]
+            rest = refs[3:]
+        else:
+            a1t_ref, mkE_ref, mkO_ref = refs[0], None, None
+            rest = refs[1:]
+        (
+            w1_ref, w2p_ref, w3p_ref, w4p_ref,
+            b1_ref, b2_ref, b3_ref, b4_ref,
+            q1b_ref, q1m_ref, q1s_ref,
+            q2b_ref, q2m_ref, q2s_ref,
+            q3b_ref, q3m_ref, q3s_ref,
+            out_ref,  # [1,1,wc, 2, m4] i16 residuals, lane-major, ROW/phase
+            v1s, v2s, v3s,
+        ) = rest
+        return _kernel3_body(
+            a1t_ref, mkE_ref, mkO_ref,
+            w1_ref, w2p_ref, w3p_ref, w4p_ref,
+            b1_ref, b2_ref, b3_ref, b4_ref,
+            q1b_ref, q1m_ref, q1s_ref, q2b_ref, q2m_ref, q2s_ref,
+            q3b_ref, q3m_ref, q3s_ref, out_ref, v1s, v2s, v3s,
+            th=th, we=we, mul4=mul4, shift4=shift4, unroll=unroll,
+            stages=stages, wc=wc, atlas=atlas,
+        )
+
+    return kernel
+
+
+def _kernel3_body(
         a1t_ref,  # [1,1,wc, 32, m1] TAP-major S1 im2col (taps (dy,u));
         #           S1 contracts dim 0 so the HBM operand needs no lane
         #           padding and no host-side transpose
@@ -224,11 +261,20 @@ def _make_kernel3(th: int, we: int, mul4: int, shift4: int, unroll: bool = False
         q3b_ref, q3m_ref, q3s_ref,
         out_ref,  # [1,1,wc, 2, m4] i16 residuals, lane-major, ROW per phase
         v1s, v2s, v3s,
+        *, th, we, mul4, shift4, unroll, stages, wc, atlas,
     ):
+      we2 = we // 2
+      m1 = (th + 8) * we2
+      m2 = (th + 4) * we2
+      m3 = (th + 2) * we2
+      m4 = th * we2
+      masked = mkE_ref is not None
       for wi in range(wc):
         # atlas masks carry no wc axis (atlas implies wc == 1)
-        mkE2 = mkE_ref[0] if atlas else mkE_ref[0, wi]
-        mkO2 = mkO_ref[0] if atlas else mkO_ref[0, wi]
+        mkE2 = mkO2 = None
+        if masked:
+            mkE2 = mkE_ref[0] if atlas else mkE_ref[0, wi]
+            mkO2 = mkO_ref[0] if atlas else mkO_ref[0, wi]
         # ---- S1: ONE pass for both phases; lhs arrives tap-major, the
         # dot contracts lhs dim 0 (Mosaic streams the transposed operand
         # through the MXU natively) ----
@@ -244,7 +290,7 @@ def _make_kernel3(th: int, we: int, mul4: int, shift4: int, unroll: bool = False
             q1b_ref[...], q1m_ref[...], q1s_ref[...],
         ).astype(act_dtype)
         v1 = jnp.pad(v1, ((0, 8), (0, 0)))
-        v1s[...] = _apply_mask(v1, _expand_mask(mkE2, 64))
+        v1s[...] = _apply_mask(v1, _expand_mask(mkE2, 64)) if masked else v1
 
         if stages <= 1:
             emit_cols = 8
@@ -258,9 +304,11 @@ def _make_kernel3(th: int, we: int, mul4: int, shift4: int, unroll: bool = False
         v2s[...] = _stage_packed(
             v1s, w2p_ref, 5, 3, we2, m2, b2_ref[...],
             (q2b_ref[...], q2m_ref[...], q2s_ref[...]),
-            mask=lambda v: _apply_mask(
-                v, _expand_mask(mkE2[s2_off : s2_off + m2 + 8, :], 48)
-            ),
+            mask=(
+                lambda v: _apply_mask(
+                    v, _expand_mask(mkE2[s2_off : s2_off + m2 + 8, :], 48)
+                )
+            ) if masked else None,
             unroll=unroll,
         )
         if stages <= 2:
@@ -272,7 +320,8 @@ def _make_kernel3(th: int, we: int, mul4: int, shift4: int, unroll: bool = False
         v3s[...] = _stage_packed(
             v2s, w3p_ref, 3, 2, we2, m3, b3_ref[...],
             (q3b_ref[...], q3m_ref[...], q3s_ref[...]),
-            mask=lambda v: _apply_mask(v, _expand_mask(mkO2, 48)),
+            mask=(lambda v: _apply_mask(v, _expand_mask(mkO2, 48)))
+            if masked else None,
             unroll=unroll,
         )
         if stages <= 3:
@@ -286,8 +335,6 @@ def _make_kernel3(th: int, we: int, mul4: int, shift4: int, unroll: bool = False
         res = jnp.right_shift(u4 * mul4 + (1 << (shift4 - 1)), shift4)
         t = jnp.transpose(res)
         out_ref[0, 0, wi] = jnp.clip(t[0:2, :], -255, 255).astype(jnp.int16)
-
-    return kernel
 
 
 def _edge_masks2(nh, nw, th, tw, we2, hb, w, m_rows, row_off, col_off):
@@ -440,23 +487,10 @@ def build_pallas_forward3(
                     cc = cc + jnp.where(wi == nw - 2, 4, 0)
                 return (rc + 8 * cc, 0, 0)
 
-            mask_specs = [
-                pl.BlockSpec((1, mk.shape[1], 2), mask_idx,
-                             memory_space=pltpu.VMEM)
-                for mk in masks
-            ]
         else:
             mkE = _edge_masks2(nh, nw, th, tw, we2, hb, w, m1 + 8, 4, 4).astype(dtype)
             mkO = _edge_masks2(nh, nw, th, tw, we2, hb, w, m3 + 8, 1, 1).astype(dtype)
             masks = [mkE, mkO]
-            mask_specs = [
-                pl.BlockSpec(
-                    (1, wc, mk.shape[2], 2),
-                    lambda bi, hi, wi: (hi, wi, 0, 0),
-                    memory_space=pltpu.VMEM,
-                )
-                for mk in masks
-            ]
 
         nwp = -(-nw // wc) * wc
         if nwp != nw:
@@ -466,36 +500,107 @@ def build_pallas_forward3(
             ]
         if "zero_a1" in _debug:  # perf bisection: cut the prep chain
             a1t = jnp.zeros(a1t.shape, a1t.dtype)
-        kernel = _make_kernel3(th, we, pw.mul4, pw.shift4, unroll, stages, wc,
-                               atlas=atlas)
-        out = pl.pallas_call(
-            kernel,
-            grid=(b, nh, nwp // wc),
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024,
-            ),
-            in_specs=[
+
+        scratch_shapes = [
+            pltpu.VMEM((m1 + 8, 128), dtype),
+            pltpu.VMEM(((th + 4) * we2 + 8, 96), dtype),
+            pltpu.VMEM(((th + 2) * we2 + 8, 96), dtype),
+        ]
+        cparams = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+        def launch(nr, nc, row_of, col_of, use_masks):
+            """One pallas_call over an (nr x nc)-tile rectangle; row_of /
+            col_of translate grid coords to absolute tile coords (in wc
+            units). use_masks=False runs the interior-tile kernel variant
+            (no mask operands, no mask multiplies)."""
+            kern = _make_kernel3(th, we, pw.mul4, pw.shift4, unroll, stages,
+                                 wc, atlas=atlas, masked=use_masks)
+            in_specs = [
                 pl.BlockSpec(
                     (1, 1, wc, 32, m1),
-                    lambda bi, hi, wi: (bi, hi, wi, 0, 0),
+                    lambda bi, hi, wi: (bi, row_of(hi), col_of(wi), 0, 0),
                     memory_space=pltpu.VMEM,
                 )
             ]
-            + mask_specs
-            + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in consts],
-            out_specs=pl.BlockSpec(
-                (1, 1, wc, 2, m4),
-                lambda bi, hi, wi: (bi, hi, wi, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            out_shape=jax.ShapeDtypeStruct((b, nh, nwp, 2, m4), jnp.int16),
-            scratch_shapes=[
-                pltpu.VMEM((m1 + 8, 128), dtype),
-                pltpu.VMEM(((th + 4) * we2 + 8, 96), dtype),
-                pltpu.VMEM(((th + 2) * we2 + 8, 96), dtype),
-            ],
-            interpret=interpret,
-        )(a1t, *masks, *consts)
+            operands = [a1t]
+            if use_masks:
+                if atlas:
+                    in_specs += [
+                        pl.BlockSpec(
+                            (1, mk.shape[1], 2),
+                            lambda bi, hi, wi: mask_idx(
+                                bi, row_of(hi), col_of(wi)
+                            ),
+                            memory_space=pltpu.VMEM,
+                        )
+                        for mk in masks
+                    ]
+                else:
+                    in_specs += [
+                        pl.BlockSpec(
+                            (1, wc, mk.shape[2], 2),
+                            lambda bi, hi, wi: (row_of(hi), col_of(wi), 0, 0),
+                            memory_space=pltpu.VMEM,
+                        )
+                        for mk in masks
+                    ]
+                operands += masks
+            in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in consts]
+            operands += consts
+            return pl.pallas_call(
+                kern,
+                grid=(b, nr, nc),
+                compiler_params=cparams,
+                in_specs=in_specs,
+                out_specs=pl.BlockSpec(
+                    (1, 1, wc, 2, m4),
+                    lambda bi, hi, wi: (bi, hi, wi, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                out_shape=jax.ShapeDtypeStruct((b, nr, nc * wc, 2, m4), jnp.int16),
+                scratch_shapes=scratch_shapes,
+                interpret=interpret,
+            )(*operands)
+
+        if not atlas:
+            spill_r = spill_c = False
+        # BAND SPLIT: interior tiles (no frame edge in reach of their halo)
+        # run the unmasked kernel variant — the masks there are all-ones
+        # and their application was measured at ~20% of kernel time. Edge
+        # tiles form three rectangles: the top/bottom row bands (+ the
+        # second-to-last row when its halo spills), the left/right column
+        # bands of the middle rows, and the interior. Outputs reassemble
+        # with two cheap int16 concats.
+        band_split = (
+            atlas
+            and wc == 1
+            and nh >= 3 + int(spill_r)
+            and nw >= 3 + int(spill_c)
+            and "no_split" not in _debug
+        )
+        if not band_split:
+            out = launch(nh, nwp // wc, lambda r: r, lambda c: c, True)
+        else:
+            nh_i = nh - 2 - int(spill_r)
+            nw_i = nw - 2 - int(spill_c)
+
+            def row_band(hb):
+                r = jnp.where(hb == 0, 0, nh - 1)
+                return jnp.where(hb == 2, nh - 2, r) if spill_r else r
+
+            def col_band(cb):
+                c = jnp.where(cb == 0, 0, nw - 1)
+                return jnp.where(cb == 2, nw - 2, c) if spill_c else c
+
+            tb = launch(2 + int(spill_r), nw, row_band, lambda c: c, True)
+            mc = launch(nh_i, 2 + int(spill_c), lambda r: r + 1, col_band, True)
+            it = launch(nh_i, nw_i, lambda r: r + 1, lambda c: c + 1, False)
+            mid = [mc[:, :, 0:1], it]
+            mid += [mc[:, :, 2:3]] if spill_c else []
+            mid = jnp.concatenate(mid + [mc[:, :, 1:2]], axis=2)
+            rows = [tb[:, 0:1], mid]
+            rows += [tb[:, 2:3]] if spill_r else []
+            out = jnp.concatenate(rows + [tb[:, 1:2]], axis=1)
 
         if "raw_out" in _debug:  # perf bisection: skip unpack/residual
             return out

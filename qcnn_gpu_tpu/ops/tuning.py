@@ -27,28 +27,71 @@ TUNED_PATH = os.path.join(
 )
 
 
-def tuned_kwargs(use_file: bool = True) -> Dict[str, int]:
+def _load_file() -> Dict:
+    path = os.environ.get("QCNN_KERNEL_CONFIG", TUNED_PATH)
+    if not os.path.exists(path):
+        return {}
+    try:
+        with open(path) as fp:
+            data = json.load(fp)
+    except (ValueError, OSError):
+        return {}
+    return data if isinstance(data, dict) else {}
+
+
+def _knobs_of(data: Dict) -> Dict[str, int]:
+    cfg: Dict[str, int] = {}
+    for k in _KNOBS:
+        if k in data:
+            try:
+                cfg[k] = int(data[k])
+            except (ValueError, TypeError):
+                pass  # per-knob skip: one bad value must not drop the
+                # valid knobs with it
+    return cfg
+
+
+def geometry_class(h: int, w: int, data: Dict = None) -> str:
+    """The tuned file's per_geometry key serving (h, w): an exact "HxW"
+    match, else the entry with the nearest pixel count (log distance —
+    240p and 4K are classes, not points), else None."""
+    import math
+
+    data = _load_file() if data is None else data
+    per = data.get("per_geometry")
+    if not isinstance(per, dict) or not per:
+        return None
+    key = f"{h}x{w}"
+    if key in per:
+        return key
+
+    def pixels(k):
+        try:
+            hh, ww = k.split("x")
+            return int(hh) * int(ww)
+        except ValueError:
+            return None
+
+    cands = [k for k in per if pixels(k)]
+    if not cands:
+        return None
+    return min(cands, key=lambda k: abs(math.log(pixels(k) / (h * w))))
+
+
+def tuned_kwargs(use_file: bool = True, h: int = None, w: int = None) -> Dict[str, int]:
     """Kernel-build kwargs from (in priority order) QCNN_KERNEL_* env vars,
-    the QCNN_KERNEL_CONFIG file, assets/tuned_kernel.json, else {} (the
-    builder's own defaults). use_file=False skips the file tiers (used by
-    the CPU interpret path, where the hardware-tuned tile is wrong)."""
+    a per-geometry entry of the tuned file matching (h, w), the file's
+    top-level knobs, else {} (the builder's own defaults). use_file=False
+    skips the file tiers (used by the CPU interpret path, where the
+    hardware-tuned tile is wrong)."""
     cfg: Dict[str, int] = {}
     if use_file:
-        path = os.environ.get("QCNN_KERNEL_CONFIG", TUNED_PATH)
-        if os.path.exists(path):
-            try:
-                with open(path) as fp:
-                    data = json.load(fp)
-            except (ValueError, OSError):
-                data = None
-            if isinstance(data, dict):
-                for k in _KNOBS:
-                    if k in data:
-                        try:
-                            cfg[k] = int(data[k])
-                        except (ValueError, TypeError):
-                            pass  # per-knob skip: one bad value must not
-                            # drop the valid knobs with it
+        data = _load_file()
+        cfg.update(_knobs_of(data))
+        if h and w:
+            cls = geometry_class(h, w, data)
+            if cls is not None:
+                cfg.update(_knobs_of(data["per_geometry"].get(cls, {})))
     for k in _KNOBS:
         v = os.environ.get(f"QCNN_KERNEL_{k.upper()}")
         if v:
@@ -59,12 +102,15 @@ def tuned_kwargs(use_file: bool = True) -> Dict[str, int]:
     return cfg
 
 
-def build_tuned(p, interpret: bool = False, use_file: bool = True, **overrides):
+def build_tuned(p, interpret: bool = False, use_file: bool = True,
+                h: int = None, w: int = None, **overrides):
     """Build the fused Pallas forward through the tuned config, selecting
     the kernel generation with the `kernel` knob (3 = width-packed
     pallas_pipeline3, the default; 2 = frame-pair pallas_pipeline2).
-    Extra kwargs override the tuned/env knobs."""
-    kw = tuned_kwargs(use_file=use_file)
+    Pass (h, w) to pick a per-geometry entry of the tuned table (the
+    built fn still accepts any frame shape — the geometry only selects
+    the tile config it is fastest at). Extra kwargs override everything."""
+    kw = tuned_kwargs(use_file=use_file, h=h, w=w)
     kw.update(overrides)
     kver = int(kw.pop("kernel", 3))
     if kver >= 3:
@@ -76,12 +122,32 @@ def build_tuned(p, interpret: bool = False, use_file: bool = True, **overrides):
     return run
 
 
-def write_tuned(cfg: Dict[str, int], path: str = "") -> str:
+def write_tuned(cfg: Dict[str, int], path: str = "", geometry: str = "") -> str:
     """Atomic write (temp + rename): an interrupted sweep must not leave a
-    truncated file that tuned_kwargs() then silently ignores forever."""
+    truncated file that tuned_kwargs() then silently ignores forever.
+
+    With `geometry` ("HxW"), the knobs land under per_geometry[geometry]
+    and existing top-level knobs / other geometries are preserved; without
+    it the top-level knobs are replaced (per_geometry preserved)."""
     path = path or TUNED_PATH
+    knobs = {k: int(cfg[k]) for k in _KNOBS if k in cfg}
+    data = {}
+    if os.path.exists(path):
+        try:
+            with open(path) as fp:
+                old = json.load(fp)
+            if isinstance(old, dict):
+                data = old
+        except (ValueError, OSError):
+            pass
+    if geometry:
+        data.setdefault("per_geometry", {})[geometry] = knobs
+    else:
+        data = {**knobs, "per_geometry": data.get("per_geometry", {})}
+        if not data["per_geometry"]:
+            del data["per_geometry"]
     tmp = path + ".tmp"
     with open(tmp, "w") as fp:
-        json.dump({k: int(cfg[k]) for k in _KNOBS if k in cfg}, fp, indent=1)
+        json.dump(data, fp, indent=1)
     os.replace(tmp, path)
     return path

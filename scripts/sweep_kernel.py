@@ -15,25 +15,27 @@ import subprocess
 import sys
 
 CONFIGS = [
-    # (kernel, th, we, wc). kernel 3 = width-packed (one frame/program,
-    # 2x fewer MXU passes), kernel 2 = frame-pair. we>=512 is dropped:
-    # measured on hw, those configs either fail to compile or blow the
-    # 900s compile budget (sweep_kernel.jsonl), and the wider column tile
-    # has no model-side advantage over wc chunking.
-    (3, 64, 256, 1),
-    (3, 64, 256, 2),
-    (3, 64, 256, 4),
-    (3, 128, 256, 1),
-    (3, 128, 256, 2),
-    (3, 256, 256, 1),
-    (2, 64, 256, 1),
-    (2, 64, 256, 2),
-    (2, 64, 256, 4),
-    (2, 128, 256, 1),
-    (2, 128, 256, 2),
-    (2, 32, 256, 2),
-    (2, 256, 256, 1),
-    (2, 256, 256, 2),
+    # (kernel, th, we, wc, h, w). kernel 3 = width-packed (one frame per
+    # program, 2x fewer MXU passes), kernel 2 = frame-pair. we>=512 is
+    # dropped: measured on hw, those configs either fail to compile or
+    # blow the 900s compile budget (r2 sweep_kernel.jsonl), and the wider
+    # column tile has no model-side advantage over wc chunking. r3 grid:
+    # th extended to {32, 96} (VERDICT item 6) and per-geometry rows at
+    # the 240p and 4K classes; batch scales with frame size so one row
+    # never exceeds ~150 MB of device frames.
+    (3, 64, 256, 1, 1080, 1920),
+    (3, 32, 256, 1, 1080, 1920),
+    (3, 96, 256, 1, 1080, 1920),
+    (3, 128, 256, 1, 1080, 1920),
+    (3, 64, 256, 2, 1080, 1920),
+    (2, 64, 256, 2, 1080, 1920),  # v2 reference point (r2 best v2 config)
+    # 240p class: small frames want small row tiles (nh at th=64 is 4)
+    (3, 64, 256, 1, 240, 416),
+    (3, 32, 256, 1, 240, 416),
+    (3, 16, 256, 1, 240, 416),
+    # 4K class
+    (3, 64, 256, 1, 2160, 3840),
+    (3, 128, 256, 1, 2160, 3840),
 ]
 
 CHILD = r"""
@@ -49,6 +51,7 @@ from qcnn_gpu_tpu.models.qvrcnn import make_forward
 from qcnn_gpu_tpu.testing import synth_engine_params, synth_frames
 
 kernel, th, we, wc = {kernel}, {th}, {we}, {wc}
+h, w = {h}, {w}
 p = synth_engine_params(37)
 xs = synth_frames(2, 48, 488, seed=1)
 gold = O.forward_blu(xs, p)
@@ -58,7 +61,8 @@ exact = bool((np.asarray(run(xs)) == gold).all())
 # (h, w). Gold comes from the XLA graph via the HOST-TILED path — this
 # toolchain rejects whole-frame >=1080p XLA compiles (engine/tiled.py
 # exists for exactly that), and tiled==whole-frame is itself tested.
-xb_host = synth_frames(4, 1080, 1920, seed=2)
+batch = max(2, min(16, int(150e6 / (h * w))))
+xb_host = synth_frames(batch, h, w, seed=2)
 xb = jax.device_put(xb_host)
 out = run(xb); out.block_until_ready()
 xla = make_forward(p, impl="auto")
@@ -70,14 +74,15 @@ t0 = time.perf_counter()
 for _ in range(n):
     out = run(xb)
 out.block_until_ready()
-ms = 1000 * (time.perf_counter() - t0) / (n * 4)
+ms = 1000 * (time.perf_counter() - t0) / (n * batch)
 print("RESULT " + json.dumps({{"kernel": kernel, "th": th, "we": we,
-                               "wc": wc, "ms_per_frame": round(ms, 3),
+                               "wc": wc, "h": h, "w": w, "batch": batch,
+                               "ms_per_frame": round(ms, 3),
                                "exact": exact}}))
 """
 
 
-def main(out_path="sweep_kernel.jsonl", timeout_s=900):
+def main(out_path="sweep_kernel_r3.jsonl", timeout_s=1500):
     timeout_s = float(timeout_s)  # CLI args arrive as strings
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     done = set()
@@ -89,11 +94,13 @@ def main(out_path="sweep_kernel.jsonl", timeout_s=900):
             # optimum never silently excludes a viable config. Set
             # SWEEP_SKIP_ERRORS=1 to treat error rows as final.
             if "ms_per_frame" in r or os.environ.get("SWEEP_SKIP_ERRORS") == "1":
-                done.add((r.get("kernel", 2), r["th"], r["we"], r["wc"]))
-    for kernel, th, we, wc in CONFIGS:
-        if (kernel, th, we, wc) in done:
+                done.add((r.get("kernel", 2), r["th"], r["we"], r["wc"],
+                          r.get("h", 1080), r.get("w", 1920)))
+    for kernel, th, we, wc, h, w in CONFIGS:
+        if (kernel, th, we, wc, h, w) in done:
             continue
-        code = CHILD.format(repo=repo, kernel=kernel, th=th, we=we, wc=wc)
+        code = CHILD.format(repo=repo, kernel=kernel, th=th, we=we, wc=wc,
+                            h=h, w=w)
         try:
             cp = subprocess.run(
                 [sys.executable, "-u", "-c", code],
@@ -109,23 +116,30 @@ def main(out_path="sweep_kernel.jsonl", timeout_s=900):
                 # lines that actually name an error
                 tail = [l for l in lines if "rror" in l][-2:] or lines[-3:]
                 row = {"kernel": kernel, "th": th, "we": we, "wc": wc,
-                       "error": " | ".join(tail)[:300]}
+                       "h": h, "w": w, "error": " | ".join(tail)[:300]}
         except subprocess.TimeoutExpired:
             row = {"kernel": kernel, "th": th, "we": we, "wc": wc,
-                   "error": f"timeout {timeout_s}s"}
+                   "h": h, "w": w, "error": f"timeout {timeout_s}s"}
         with open(out_path, "a") as fp:
             fp.write(json.dumps(row) + "\n")
         print(row, flush=True)
     rows = [json.loads(l) for l in open(out_path)]
     ok = [r for r in rows if r.get("exact") and "ms_per_frame" in r]
-    if ok:
-        best = min(ok, key=lambda r: r["ms_per_frame"])
-        print("BEST:", best)
-        if os.environ.get("SWEEP_WRITE_TUNED", "1") == "1":
-            sys.path.insert(0, repo)
-            from qcnn_gpu_tpu.ops.tuning import write_tuned
+    if ok and os.environ.get("SWEEP_WRITE_TUNED", "1") == "1":
+        sys.path.insert(0, repo)
+        from qcnn_gpu_tpu.ops.tuning import write_tuned
 
-            print("tuned ->", write_tuned(best))
+        # best at the headline geometry -> top-level knobs; best per other
+        # geometry class -> per_geometry entries (tuned_kwargs(h, w))
+        geos = sorted({(r.get("h", 1080), r.get("w", 1920)) for r in ok})
+        for h, w in geos:
+            best = min(
+                (r for r in ok if (r.get("h", 1080), r.get("w", 1920)) == (h, w)),
+                key=lambda r: r["ms_per_frame"],
+            )
+            print(f"BEST {h}x{w}:", best)
+            geo = "" if (h, w) == (1080, 1920) else f"{h}x{w}"
+            print("tuned ->", write_tuned(best, geometry=geo))
 
 
 if __name__ == "__main__":

@@ -96,3 +96,59 @@ def test_cli_run_reproduces_golden(tmp_path, goldens, eval_clip, capsys):
     g = goldens["goldens"][str(qp)]
     recon = yuv.read_y(str(tmp_path / "recon.yuv"), 240, 416, anchor.shape[0])
     assert yuv.psnr(recon, eval_clip) == pytest.approx(g["after"], abs=0.01)
+
+
+# ---------------------------------------------------------------------------
+# Second content + geometry: the DEM/MRI/photo composite at 832x480
+# (scripts/make_golden_eval.py) — held-out content through code paths a
+# 240p clip never exercises (atlas spill classes, big-frame tiling).
+# ---------------------------------------------------------------------------
+
+_COMPOSITE_JSON = os.path.join(GOLDEN_DIR, "psnr_golden_composite.json")
+
+
+@pytest.fixture(scope="module")
+def composite_goldens():
+    if not os.path.exists(_COMPOSITE_JSON):
+        pytest.skip("composite goldens not generated (scripts/make_golden_eval.py)")
+    with open(_COMPOSITE_JSON) as fp:
+        return json.load(fp)
+
+
+@pytest.fixture(scope="module")
+def composite_eval_clip(composite_goldens):
+    from qcnn_gpu_tpu.data.golden import composite_clip
+
+    return composite_clip(
+        composite_goldens["frames_eval"], phase=composite_goldens["phase"]
+    )
+
+
+@pytest.mark.parametrize("qp", sorted(QP_QUALITY))
+def test_engine_reproduces_composite_golden(qp, composite_goldens, composite_eval_clip):
+    g = composite_goldens["goldens"][str(qp)]
+    anchor = jpeg_anchor(composite_eval_clip, QP_QUALITY[qp])
+    before = yuv.psnr(anchor, composite_eval_clip)
+    assert before == pytest.approx(g["before"], abs=0.01), (
+        "composite anchor drifted (PIL JPEG changed?) — regenerate goldens"
+    )
+    p = read_static_qfp_vect_c(os.path.join(GOLDEN_DIR, f"model_q{qp}.data"))
+    rec = np.asarray(make_forward(p, impl="auto")(anchor))
+    after = yuv.psnr(rec, composite_eval_clip)
+    assert after == pytest.approx(g["after"], abs=0.01), (
+        f"QP{qp} composite: engine PSNR {after:.4f} vs golden {g['after']:.4f}"
+    )
+
+
+def test_composite_golden_via_tiled_path(composite_goldens, composite_eval_clip):
+    """The host-tiled fallback (engine/tiled.py, the divided_run analog)
+    reproduces the same composite golden — the big-frame code path."""
+    from qcnn_gpu_tpu.engine.tiled import restore_tiled
+
+    qp = 37
+    g = composite_goldens["goldens"][str(qp)]
+    anchor = jpeg_anchor(composite_eval_clip, QP_QUALITY[qp])
+    p = read_static_qfp_vect_c(os.path.join(GOLDEN_DIR, f"model_q{qp}.data"))
+    rec = restore_tiled(make_forward(p, impl="auto"), anchor, 256, 448)
+    after = yuv.psnr(rec, composite_eval_clip)
+    assert after == pytest.approx(g["after"], abs=0.01)

@@ -147,3 +147,34 @@ def test_pallas2_column_chunking(wc):
         got = np.asarray(run(x))
         want = O.forward_blu(x, p)
         assert (got == want).all(), (n, h, w, np.sum(got != want))
+
+
+@pytest.mark.parametrize(
+    "h,w",
+    [
+        (40, 60),   # interior tiles exist: 3 pallas calls (band split)
+        (35, 56),   # both spill classes active (halo past the frame edge)
+        (16, 20),   # no interior: falls back to the single masked call
+    ],
+)
+def test_pallas3_band_split_exact(h, w):
+    """The band-split dispatch (unmasked interior kernel + masked edge
+    rectangles) is bit-exact vs the oracle, including the halo-spill
+    classes and the no-interior fallback."""
+    from qcnn_gpu_tpu.ops.pallas_pipeline3 import build_pallas_forward3
+
+    p = synth_engine_params(37)
+    x = synth_frames(2, h, w, seed=h + w)
+    run = build_pallas_forward3(p, th=8, we=24, interpret=True)
+    assert (np.asarray(run(x)) == O.forward_blu(x, p)).all()
+
+
+def test_pallas3_no_split_debug_matches():
+    """The single-call path (_debug='no_split') stays available for
+    ablation and remains exact."""
+    from qcnn_gpu_tpu.ops.pallas_pipeline3 import build_pallas_forward3
+
+    p = synth_engine_params(27)
+    x = synth_frames(1, 40, 60, seed=3)
+    run = build_pallas_forward3(p, th=8, we=24, interpret=True, _debug="no_split")
+    assert (np.asarray(run(x)) == O.forward_blu(x, p)).all()

@@ -108,3 +108,33 @@ def test_use_file_false_keeps_env_only(clean_env, tmp_path):
     clean_env.setenv("QCNN_KERNEL_WC", "2")
     assert tuning.tuned_kwargs(use_file=False) == {"wc": 2}
     assert tuning.tuned_kwargs() == {"th": 128, "wc": 2}
+
+
+def test_per_geometry_selection(clean_env, tmp_path):
+    path = str(tmp_path / "tuned.json")
+    tuning.write_tuned({"th": 64, "we": 256, "wc": 1, "kernel": 3}, path)
+    tuning.write_tuned({"th": 32, "we": 128}, path, geometry="240x416")
+    tuning.write_tuned({"th": 128, "we": 256}, path, geometry="2160x3840")
+    clean_env.setenv("QCNN_KERNEL_CONFIG", path)
+
+    # top-level knobs survive the per-geometry writes
+    base = tuning.tuned_kwargs()
+    assert base == {"th": 64, "we": 256, "wc": 1, "kernel": 3}
+    # exact geometry match overlays the base
+    kw = tuning.tuned_kwargs(h=240, w=416)
+    assert kw["th"] == 32 and kw["we"] == 128
+    assert kw["wc"] == 1 and kw["kernel"] == 3  # inherited
+    # nearest-class fallback: 1600p is closer (log-pixel) to 4K than 240p
+    assert tuning.geometry_class(1600, 2560) == "2160x3840"
+    assert tuning.tuned_kwargs(h=1600, w=2560)["th"] == 128
+    # env still beats everything
+    clean_env.setenv("QCNN_KERNEL_TH", "96")
+    assert tuning.tuned_kwargs(h=240, w=416)["th"] == 96
+
+
+def test_geometry_class_none_without_table(clean_env, tmp_path):
+    path = str(tmp_path / "flat.json")
+    tuning.write_tuned({"th": 64}, path)
+    clean_env.setenv("QCNN_KERNEL_CONFIG", path)
+    assert tuning.geometry_class(1080, 1920) is None
+    assert tuning.tuned_kwargs(h=1080, w=1920) == {"th": 64}

@@ -49,6 +49,7 @@ def cmd_run(args) -> int:
         qp=args.qp,
         frames=args.frames,
         recon_path=args.recon,
+        transport=args.transport,
     )
     print(
         f"before net: PSNR={rec.psnr_before:.3f}\n"
@@ -358,6 +359,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mesh", default="", help="dpxsp, e.g. 2x4")
     p.add_argument("--recon", default=None)
     p.add_argument("--out-dir", default=".")
+    p.add_argument(
+        "--transport",
+        default="raw",
+        choices=["raw", "duplex"],
+        help="duplex = block-sparse temporal-delta H2D + packed-residual "
+        "D2H (bit-exact; ~4x fewer wire bytes on static-camera content)",
+    )
     p.set_defaults(fn=cmd_run)
 
     p = sub.add_parser("sweep", help="run the JCT-VC manifest (run_all analog)")

@@ -273,3 +273,92 @@ def make_wide_forward(p: WideParams):
 
     run.impl = "wide-int"
     return run
+
+
+# ---------------------------------------------------------------------------
+# FP8 requant variant (BASELINE config 5 stretch: "INT4/FP8")
+# ---------------------------------------------------------------------------
+
+
+def quantize_wide_fp8(ws: Sequence[np.ndarray], bs: Sequence[np.ndarray]):
+    """Per-output-channel absmax scaling of float weights onto
+    float8_e4m3 (dynamic range ±448): returns (w8 list, scale list
+    float32 [cout]). The quantization error this introduces is the FP8
+    variant's entire deviation from the float model — biases stay fp32."""
+    import jax.numpy as jnp
+
+    w8, scales = [], []
+    for w in ws:
+        amax = np.maximum(np.abs(w).max(axis=(0, 1, 2)), 1e-12)
+        s = (amax / 448.0).astype(np.float32)
+        w8.append(jnp.asarray(w / s, dtype=jnp.float8_e4m3fn))
+        scales.append(jnp.asarray(s))
+    return w8, scales
+
+
+def make_wide_forward_fp8(ws, bs, blu: float = 2.0):
+    """FP8 twin of make_wide_forward: fn(uint8 [N,H,W]) -> uint8 [N,H,W].
+
+    Weights are stored float8_e4m3 per-channel scaled (half the HBM and
+    wire bytes of bf16, a quarter of fp32) and the INTER-LAYER activations
+    are requantized to float8_e4m3 with the per-layer scale blu/448 — the
+    FP8 analog of the INT8 path's blu_requant epilogue (mat.cu:262-314
+    semantics: scale, clip to the BLU bound, narrow). The MXU math runs
+    bf16 with fp32 accumulation: this TPU generation has no FP8 systolic
+    datapath, so FP8 here buys memory/bandwidth, not FLOPs — documented,
+    not hidden (hardware with native FP8 matmul lowers the same program
+    to it via preferred_element_type).
+
+    Contract: NOT bit-exact (unlike every INT path in this package —
+    float rounding is platform-scheduled); validated by PSNR tolerance
+    against the float model (tests/test_wide.py). Reference parity:
+    quantization.py:5-64's role (scale solving) collapses to the static
+    absmax/448 per-channel scales; there is no integer window search
+    because FP8 carries its exponent per value."""
+    import jax
+    import jax.numpy as jnp
+
+    w8, scales = quantize_wide_fp8(ws, bs)
+    bsj = [jnp.asarray(b, jnp.float32) for b in bs]
+    sa = np.float32(blu / 448.0)  # activation scale, all hidden layers
+    dn = ("NHWC", "HWIO", "NHWC")
+
+    @jax.jit
+    def run(x_uint8):
+        from jax import lax
+
+        v = ((x_uint8[..., None].astype(jnp.float32) - 128.0) / 255.0).astype(
+            jnp.bfloat16
+        )
+        act_s = jnp.bfloat16(1.0)  # input layer sees the raw normalized x
+        for i in range(len(w8) - 1):
+            u = lax.conv_general_dilated(
+                v.astype(jnp.bfloat16),
+                w8[i].astype(jnp.bfloat16),
+                (1, 1),
+                "SAME",
+                dimension_numbers=dn,
+                preferred_element_type=jnp.float32,
+            )
+            u = u * (scales[i] * act_s) + bsj[i]
+            # FP8 activation requant: scale onto ±448, narrow, carry the
+            # scale into the next conv's epilogue (exact algebra; the only
+            # loss is the fp8 rounding itself)
+            v = jnp.clip(u, 0.0, blu)
+            v = (v / sa).astype(jnp.float8_e4m3fn)
+            act_s = jnp.bfloat16(sa)
+        u = lax.conv_general_dilated(
+            v.astype(jnp.bfloat16),
+            w8[-1].astype(jnp.bfloat16),
+            (1, 1),
+            "SAME",
+            dimension_numbers=dn,
+            preferred_element_type=jnp.float32,
+        )
+        res = u * (scales[-1] * act_s) + bsj[-1]
+        rec = x_uint8.astype(jnp.float32) + jnp.round(res[..., 0] * 255.0)
+        return jnp.clip(rec, 0.0, 255.0).astype(jnp.uint8)
+
+    run.impl = "wide-fp8"
+    run.weight_bytes = sum(int(np.prod(w.shape)) for w in w8)
+    return run

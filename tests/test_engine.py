@@ -315,3 +315,34 @@ def test_cli_run_impl_pallas3(tmp_path, clip):
     assert rc == 0
     recon = yuv.read_y(str(tmp_path / "r3.yuv"), 48, 64)
     assert (recon == O.forward_blu(anchor, p)).all()
+
+
+def test_restore_stream_duplex_bit_exact(tmp_path):
+    """transport='duplex' (block-sparse temporal-delta H2D + packed
+    residual D2H) restores a chained multi-batch stream bit-exactly,
+    including the ragged tail that rides the raw transport."""
+    p = synth_engine_params(37)
+    eng = Engine(impl="int", out_dir=str(tmp_path), batch_frames=2)
+    eng.set_model(37, p)
+    frames = synth_frames(7, 32, 48, seed=21)  # 3 full batches + tail of 1
+    want = O.forward_blu(frames, p)
+    got = eng.restore_stream(frames, 37, transport="duplex")
+    assert (got == want).all()
+    assert eng._last_impl.endswith("+duplex") or eng._last_impl == "int"
+    # a second stream reuses the cached transport (carry chains across)
+    got2 = eng.restore_stream(frames, 37, transport="duplex")
+    assert (got2 == want).all()
+
+
+def test_run_sequence_duplex_transport(tmp_path, clip):
+    ori_p, anc_p, ori, anchor = clip
+    p = synth_engine_params(37)
+    eng = Engine(impl="int", out_dir=str(tmp_path), batch_frames=2)
+    eng.set_model(37, p)
+    rec = eng.run_sequence(
+        "seq", ori_p, anc_p, 48, 64, 37, frames=3, transport="duplex",
+        recon_path=str(tmp_path / "rec.yuv"),
+    )
+    got = yuv.read_y(str(tmp_path / "rec.yuv"), 48, 64, 3)
+    assert (got == O.forward_blu(anchor, p)).all()
+    assert rec.time_us > 0

@@ -122,3 +122,51 @@ def test_wide_train_quantize_tp_loop():
     assert (rec == W.forward_wide(x, p)).all()
     runt = make_tp_wide_forward(p, make_mesh(1, 4), axis="sp")
     assert (np.asarray(runt(x)) == rec).all()
+
+
+def test_wide_fp8_psnr_parity():
+    """FP8 requant variant (BASELINE config 5 stretch): fp8 weights +
+    fp8 inter-layer activations track the float model within a small
+    PSNR delta on a restoration task (not bit-exact by design — the
+    package's integer paths keep that contract; fp8 trades exactness
+    for half-of-bf16 storage)."""
+    import jax.numpy as jnp
+
+    from qcnn_gpu_tpu.data import yuv
+    from qcnn_gpu_tpu.models.wide import (
+        float_forward,
+        make_wide_forward_fp8,
+        quantize_wide_fp8,
+    )
+
+    rng = np.random.default_rng(5)
+    channels, blocks = 32, 2
+    shapes = [(3, 3, 1, channels)] + [(3, 3, channels, channels)] * blocks + [
+        (3, 3, channels, 1)
+    ]
+    ws = [
+        rng.normal(0, 0.6 / np.sqrt(s[0] * s[1] * s[2]), s).astype(np.float32)
+        for s in shapes
+    ]
+    bs = [rng.normal(0, 0.01, s[3]).astype(np.float32) for s in shapes]
+
+    x = synth_frames(2, 40, 56, seed=9)
+    xn = jnp.asarray((x[..., None].astype(np.float32) - 128.0) / 255.0)
+    res_f = np.asarray(float_forward([jnp.asarray(w) for w in ws],
+                                     [jnp.asarray(b) for b in bs], xn))
+    rec_f = np.clip(
+        x.astype(np.float32) + np.round(res_f[..., 0] * 255.0), 0, 255
+    ).astype(np.uint8)
+
+    run8 = make_wide_forward_fp8(ws, bs)
+    rec8 = np.asarray(run8(jnp.asarray(x)))
+    assert rec8.shape == x.shape and rec8.dtype == np.uint8
+    # fp8 output tracks the float output closely (same restoration)
+    assert yuv.psnr(rec8, rec_f) > 40.0
+    assert np.abs(rec8.astype(int) - rec_f.astype(int)).max() <= 8
+    # the storage claim: fp8 weights are 1 byte/param
+    n_params = sum(w.size for w in ws)
+    assert run8.weight_bytes == n_params
+    # weights really are float8
+    w8, scales = quantize_wide_fp8(ws, bs)
+    assert all(w.dtype == jnp.float8_e4m3fn for w in w8)

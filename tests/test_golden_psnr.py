@@ -152,3 +152,22 @@ def test_composite_golden_via_tiled_path(composite_goldens, composite_eval_clip)
     rec = restore_tiled(make_forward(p, impl="auto"), anchor, 256, 448)
     after = yuv.psnr(rec, composite_eval_clip)
     assert after == pytest.approx(g["after"], abs=0.01)
+
+
+def test_golden_via_duplex_transport(goldens, eval_clip):
+    """The duplex packed transport on REAL trained weights and real
+    content: streaming the JPEG-anchored clip through
+    Engine.restore_stream(transport='duplex') reproduces the committed
+    golden PSNR exactly — temporal-delta H2D and packed-residual D2H
+    both exercised with production residual statistics."""
+    from qcnn_gpu_tpu.engine import Engine
+
+    qp = 37
+    g = goldens["goldens"][str(qp)]
+    anchor = jpeg_anchor(eval_clip, QP_QUALITY[qp])
+    eng = Engine(impl="auto", batch_frames=4)
+    eng.load_model(qp, os.path.join(GOLDEN_DIR, f"model_q{qp}.data"))
+    rec = eng.restore_stream(anchor, qp, transport="duplex")
+    assert yuv.psnr(rec, eval_clip) == pytest.approx(g["after"], abs=0.01)
+    # and bit-identical to the raw transport
+    assert (rec == eng.restore(anchor, qp)).all()

@@ -16,7 +16,7 @@ from typing import Optional
 import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-_SRC = os.path.join(_DIR, "yuvio.cpp")
+_SRCS = [os.path.join(_DIR, "yuvio.cpp"), os.path.join(_DIR, "transport.cpp")]
 _BUILD = os.path.join(_DIR, "build")
 _SO = os.path.join(_BUILD, "libqcnnio.so")
 
@@ -31,9 +31,11 @@ def lib() -> Optional[ctypes.CDLL]:
     _tried = True
     try:
         os.makedirs(_BUILD, exist_ok=True)
-        if (not os.path.exists(_SO)) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+        if (not os.path.exists(_SO)) or os.path.getmtime(_SO) < max(
+            os.path.getmtime(s) for s in _SRCS
+        ):
             subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", _SO],
+                ["g++", "-O3", "-shared", "-fPIC", *_SRCS, "-o", _SO],
                 check=True,
                 capture_output=True,
             )
@@ -57,6 +59,19 @@ def lib() -> Optional[ctypes.CDLL]:
         h.apply_residual_u8.restype = None
         h.apply_residual_u8.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_longlong
+        ]
+        h.duplex_classify.restype = None
+        h.duplex_classify.argtypes = [ctypes.c_void_p] * 2 + [
+            ctypes.c_longlong, ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        h.duplex_fill.restype = None
+        h.duplex_fill.argtypes = [ctypes.c_void_p] * 2 + [
+            ctypes.c_longlong
+        ] + [ctypes.c_void_p] * 7
+        h.residual_decode.restype = None
+        h.residual_decode.argtypes = [ctypes.c_void_p] * 2 + [
+            ctypes.c_longlong, ctypes.c_longlong,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_longlong, ctypes.c_void_p,
         ]
         _lib = h
     except Exception:
@@ -91,6 +106,54 @@ def write_y_as_420(path: str, y: np.ndarray) -> bool:
     if rc != 0:
         raise OSError(f"write failed: {path}")
     return True
+
+
+def duplex_pack(x: np.ndarray, refs: np.ndarray, bucket_fn):
+    """Native block-sparse temporal-delta pack (engine/packed.py
+    semantics): ((nib_idx, nib, raw_idx, raw_val, idx, val), n_exc_total)
+    or None without a toolchain. bucket_fn sizes the padded buffers."""
+    h = lib()
+    if h is None:
+        return None
+    n = x.size
+    nb = -(-n // 256)
+    xf = np.ascontiguousarray(x, dtype=np.uint8).reshape(-1)
+    rf = np.ascontiguousarray(refs, dtype=np.uint8).reshape(-1)
+    cls = np.empty(nb, np.uint8)
+    counts = np.zeros(4, np.int64)
+    h.duplex_classify(_ptr(xf), _ptr(rf), n, _ptr(cls), _ptr(counts))
+    n_raw, n_nib, n_exc, n_exc_all = (int(v) for v in counts)
+    kr, kn, ke = bucket_fn(n_raw), bucket_fn(n_nib), bucket_fn(n_exc)
+    raw_idx = np.full(kr, nb, np.int32)
+    raw_val = np.zeros((kr, 256), np.int16)
+    nib_idx = np.full(kn, nb, np.int32)
+    nib = np.zeros((kn, 128), np.uint8)
+    idx = np.full(ke, nb * 256, np.int32)
+    val = np.zeros(ke, np.int16)
+    h.duplex_fill(
+        _ptr(xf), _ptr(rf), n, _ptr(cls),
+        _ptr(nib_idx), _ptr(nib), _ptr(raw_idx), _ptr(raw_val),
+        _ptr(idx), _ptr(val),
+    )
+    return (nib_idx, nib, raw_idx, raw_val, idx, val), n_exc_all
+
+
+def residual_decode(x_host: np.ndarray, nib: np.ndarray, idx: np.ndarray,
+                    val: np.ndarray, n_exc: int):
+    """Native packed-residual decode -> uint8 like x_host, or None."""
+    h = lib()
+    if h is None:
+        return None
+    b, hh, w = x_host.shape
+    x = np.ascontiguousarray(x_host, dtype=np.uint8)
+    nibc = np.ascontiguousarray(nib, dtype=np.uint8)
+    idxc = np.ascontiguousarray(idx, dtype=np.int32)
+    valc = np.ascontiguousarray(val, dtype=np.int16)
+    out = np.empty_like(x)
+    h.residual_decode(
+        _ptr(x), _ptr(nibc), b * hh, w, _ptr(idxc), _ptr(valc), n_exc, _ptr(out)
+    )
+    return out
 
 
 def psnr(a: np.ndarray, b: np.ndarray):

@@ -60,3 +60,68 @@ def test_read_y_dispatches_to_native(tmp_path):
     path = str(tmp_path / "d.yuv")
     yuv.write_y_as_420(path, y)
     assert (yuv.read_y(path, 20, 28, frames=3) == y).all()
+
+
+@needs_native
+def test_native_duplex_pack_matches_numpy():
+    """The C++ block-sparse delta packer (transport.cpp) must produce
+    byte-identical payloads to the NumPy packer that defines the
+    semantics — zero, nibble, and raw block classes all engaged, plus a
+    ragged tail block (size not a multiple of 256)."""
+    from qcnn_gpu_tpu.engine.packed import make_duplex_restore
+
+    rng = np.random.default_rng(11)
+    h, w, b = 40, 45, 3  # b*h*w = 5400: 21 blocks + 24-px tail
+    bg = rng.integers(0, 256, (h, w), np.uint8)
+    prev_batch = np.broadcast_to(bg, (b, h, w)).copy()
+    x = prev_batch.copy()
+    x[0, 4:12, 4:12] = rng.integers(0, 256, (8, 8), np.uint8)  # raw blocks
+    x[1] = np.clip(
+        x[1].astype(np.int16) + rng.integers(-5, 6, (h, w)), 0, 255
+    ).astype(np.uint8)  # nibble blocks
+    x[1, 0, 0] = 255 if x[1, 0, 0] < 128 else 0  # a pointwise exception
+    # x[2] untouched relative to its ref? its ref is x[1]; leave = dense
+
+    def run_pack(force_numpy):
+        pk, *_ = make_duplex_restore(lambda a: a)
+        k0, _ = pk(prev_batch)
+        assert k0 == "full"
+        return pk(x, _force_numpy=force_numpy), dict(pk.stats)
+
+    (kind_c, pay_c), st_c = run_pack(False)
+    (kind_n, pay_n), st_n = run_pack(True)
+    assert kind_c == kind_n
+    if kind_c == "packed":
+        for a, bb in zip(pay_c, pay_n):
+            assert a.dtype == bb.dtype and a.shape == bb.shape
+            assert (a == bb).all()
+    assert st_c["exc_frac"] == st_n["exc_frac"]
+    assert st_c["h2d_bytes"] == st_n["h2d_bytes"]
+
+
+@needs_native
+def test_native_residual_decode_matches_numpy():
+    from qcnn_gpu_tpu import native
+    from qcnn_gpu_tpu.engine.packed import make_packed_restore
+
+    import jax.numpy as jnp
+
+    shift = np.zeros((2, 24, 37), np.int16)  # odd width: nibble padding
+    rng = np.random.default_rng(2)
+    pos = rng.random(shift.shape) < 0.05
+    shift[pos] = rng.integers(-180, 181, int(pos.sum())).astype(np.int16)
+    shift[~pos] = rng.integers(-7, 8, int((~pos).sum())).astype(np.int16)
+    sj = jnp.asarray(shift)
+
+    def run(x):
+        return jnp.clip(x.astype(jnp.int16) + sj, 0, 255).astype(jnp.uint8)
+
+    x = synth_frames(2, 24, 37, seed=13)
+    packed, decode = make_packed_restore(run, capacity_frac=0.2)
+    fetched = tuple(np.asarray(a) for a in packed(x))
+    want = np.asarray(run(x))
+    got_native = native.residual_decode(
+        x, fetched[0], fetched[1], fetched[2], int(fetched[3])
+    )
+    assert got_native is not None and (got_native == want).all()
+    assert (decode(x, fetched) == want).all()  # public path (native inside)

@@ -39,6 +39,15 @@ import time
 
 import numpy as np
 
+_T0 = time.perf_counter()
+
+
+def _mark(msg: str) -> None:
+    """Progress marker on stderr: the heavy steps (Mosaic compiles via a
+    remote helper, link-phase probes) can legitimately take minutes, and a
+    silent bench is indistinguishable from a hung one without these."""
+    print(f"[bench +{time.perf_counter() - _T0:7.1f}s] {msg}", file=sys.stderr, flush=True)
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from qcnn_gpu_tpu.models.qvrcnn import make_forward  # noqa: E402
@@ -129,7 +138,10 @@ def main():
 
     p = synth_engine_params(37)
     frames = synth_frames(BATCH, H, W, seed=1)
+    _mark("device_put input batch")
     xd = jax.device_put(frames)
+    jax.block_until_ready(xd)
+    _mark("input on device")
 
     # fastest path first: the width-packed fused Pallas pipeline (v3),
     # then the frame-pair kernel (v2), then the XLA graph — each candidate
@@ -150,15 +162,19 @@ def main():
             )
     for name, builder in candidates:
         try:
+            _mark(f"building candidate {name} (Mosaic compile via remote helper)")
             run = builder()
             out = run(xd)
             out.block_until_ready()
             run.impl = name
+            _mark(f"candidate {name} compiled + ran")
         except Exception:
             run = None
             continue
         try:
+            _mark("exactness gate (XLA gold via host-tiled path)")
             exact = check_exact(run, frames, p)
+            _mark(f"exactness gate done: {exact}")
         except Exception as e:  # infra failure of the CHECK, not the kernel
             exact = f"check-error: {type(e).__name__}"
         if exact is False:  # wrong numbers: never time a broken kernel
@@ -175,6 +191,7 @@ def main():
         run.impl = getattr(run, "impl", IMPL)
 
     # headline: sustained device-resident throughput
+    _mark("timing device throughput")
     t0 = time.perf_counter()
     for _ in range(ITERS):
         out = run(xd)
@@ -206,9 +223,11 @@ def main():
         rng = np.random.default_rng(7)
         # quick phase check (one tiny window) to size the measurement so a
         # degraded tunnel can't blow the budget
+        _mark("link phase probe")
         quick = measure_stream_fps(bump, [base_frames[:2]], depth=DEPTH)
         slow_link = quick * 2 * fb / 1e6 < 60.0  # < 60 MB/s sustained agg
         b_, h_, w_ = base_frames.shape
+        _mark(f"building video pool (slow_link={slow_link})")
         try:
             pool = video_like_pool(h_, w_, b_, 3 if slow_link else 8)
         except Exception:  # no PIL/matplotlib: noise pool (worst-case video)
@@ -228,6 +247,7 @@ def main():
             ws = []
             for _ in range(2 if slow_link else n_windows):
                 ws.append(round(fn(), 2))
+                _mark(f"{key} window -> {ws[-1]}")
                 if time.perf_counter() - t0 > budget_s:
                     break
             d[key] = ws
@@ -267,29 +287,21 @@ def main():
         # chained full->packed sequence before any timing.
         fps_duplex, duplex_exact = None, None
         try:
-            pack_input, step_full, step_packed, ddecode = make_duplex_restore(run)
-            prev, kinds = None, []
-            for x in pool[:2]:  # compile both step programs OUTSIDE windows
-                kind, payload = pack_input(x)
-                kinds.append(kind)
-                if kind == "full" or prev is None:
-                    prev, fetched = step_full(jax.device_put(x))
-                else:
-                    prev, fetched = step_packed(
-                        prev, *(jax.device_put(a) for a in payload)
-                    )
-                jax.block_until_ready(fetched)
-                rec = ddecode(x, fetched)
+            transport = make_duplex_restore(run)
+            kinds = []
+            for x in pool[:2]:  # compile all step programs OUTSIDE windows
+                item = transport.send(x)
+                kinds.append(item[0])
+                rec = transport.receive(x, item)
                 duplex_exact = bool(
                     (rec == np.asarray(run(jax.device_put(x)))).all()
                 ) and (duplex_exact in (None, True))
             if duplex_exact and kinds == ["full", "packed"]:
-                carry = {"prev": prev}  # warmup's device carry: windows
-                # continue the chain, so steady state is all-packed H2D
+                # transport carries chain across windows: steady state is
+                # all-sparse in both directions
                 fps_duplex = windows_of(
                     lambda: measure_stream_fps_duplex(
-                        pack_input, step_full, step_packed, ddecode, pool,
-                        depth=DEPTH, carry=carry,
+                        transport, pool, depth=DEPTH
                     ),
                     "windows_duplex",
                 )
@@ -313,11 +325,15 @@ def main():
             duplex_exact=duplex_exact,
             duplex_bytes_per_frame=round((dup_h2d + dup_d2h) / batch),
             duplex_exc_frac=(
-                round(float(np.mean(pack_input.stats["exc_frac"])), 5)
+                round(float(np.mean(transport.stats["exc_frac"])), 5)
                 if fps_duplex else None
             ),
             duplex_h2d_bytes_per_frame_measured=(
-                round(float(np.median(pack_input.stats["h2d_bytes"])) / batch)
+                round(float(np.median(transport.stats["h2d_bytes"])) / batch)
+                if fps_duplex else None
+            ),
+            duplex_d2h_bytes_per_frame_measured=(
+                round(float(np.median(transport.stats["d2h_bytes"])) / batch)
                 if fps_duplex else None
             ),
             fps_link_pure=fps_link,

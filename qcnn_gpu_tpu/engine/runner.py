@@ -283,14 +283,15 @@ class Engine:
 
     def _duplex_transport(self, qp: int, geo, bs: int):
         """Cached duplex-transport object for (qp, geometry, batch): the
-        packer is stateful (previous-frame carry) and its step programs
-        compile once — callers reuse it across restore_stream calls."""
+        transport carries all stream state (host previous frame, residual
+        carry, device carries) and its programs compile once — callers
+        reuse it across restore_stream calls."""
         from qcnn_gpu_tpu.engine.packed import make_duplex_restore
 
         key = (qp, tuple(geo), bs)
         if key not in self._duplex:
             run = self._program(qp, geo=tuple(geo))
-            self._duplex[key] = make_duplex_restore(run) + ({"prev": None},)
+            self._duplex[key] = make_duplex_restore(run)
         return self._duplex[key]
 
     def _restore_stream_duplex(self, frames: np.ndarray, qp: int, depth: int):
@@ -301,21 +302,9 @@ class Engine:
         geo = frames.shape[-2:]
         cut = (n // bs) * bs  # a ragged tail would force second step
         # compiles; it streams through the raw transport below instead
-        pack_input, step_full, step_packed, decode, carry = self._duplex_transport(
-            qp, geo, bs
-        )
+        transport = self._duplex_transport(qp, geo, bs)
         batches = [frames[i : i + bs] for i in range(0, cut, bs)]
-        outs: list = []
-        state = {"i": 0}
-
-        def sink(fetched):
-            outs.append(decode(batches[state["i"]], fetched))
-            state["i"] += 1
-
-        pipeline_restore_duplex(
-            pack_input, step_full, step_packed, batches, depth=depth,
-            on_output=sink, carry=carry,
-        )
+        outs = pipeline_restore_duplex(transport, batches, depth=depth)
         self._last_impl = f"{getattr(self._program(qp, geo=tuple(geo)), 'impl', self.impl)}+duplex"
         if cut < n:
             outs.append(np.asarray(self._run(qp, frames[cut:])))
@@ -341,22 +330,10 @@ class Engine:
             np.asarray(self._run(qp, np.zeros((n, height, width), np.uint8)))
         if transport == "duplex" and frames >= bs:
             try:
-                import jax
-
-                pack_input, step_full, step_packed, _, _ = self._duplex_transport(
-                    qp, (height, width), bs
-                )
+                tr = self._duplex_transport(qp, (height, width), bs)
                 z = np.zeros((bs, height, width), np.uint8)
                 for x in (z, z):  # full step, then the all-zero packed step
-                    kind, payload = pack_input(x)
-                    if kind == "full":
-                        _, out = step_full(jax.device_put(x))
-                    else:
-                        _, out = step_packed(
-                            jax.device_put(x[-1:]),
-                            *(jax.device_put(a) for a in payload),
-                        )
-                    jax.block_until_ready(out)
+                    tr.receive(x, tr.send(x))
             except Exception:
                 pass  # restore_stream falls back to the raw transport
 

@@ -68,35 +68,28 @@ def test_native_duplex_pack_matches_numpy():
     byte-identical payloads to the NumPy packer that defines the
     semantics — zero, nibble, and raw block classes all engaged, plus a
     ragged tail block (size not a multiple of 256)."""
-    from qcnn_gpu_tpu.engine.packed import make_duplex_restore
+    from qcnn_gpu_tpu.engine.packed import _bucket, _pack_payload_numpy
 
     rng = np.random.default_rng(11)
     h, w, b = 40, 45, 3  # b*h*w = 5400: 21 blocks + 24-px tail
     bg = rng.integers(0, 256, (h, w), np.uint8)
-    prev_batch = np.broadcast_to(bg, (b, h, w)).copy()
-    x = prev_batch.copy()
-    x[0, 4:12, 4:12] = rng.integers(0, 256, (8, 8), np.uint8)  # raw blocks
+    refs = np.broadcast_to(bg, (b, h, w)).copy()
+    x = refs.copy()
+    x[0, 4:20, :] = rng.integers(0, 256, (16, w), np.uint8)  # raw blocks
     x[1] = np.clip(
         x[1].astype(np.int16) + rng.integers(-5, 6, (h, w)), 0, 255
     ).astype(np.uint8)  # nibble blocks
     x[1, 0, 0] = 255 if x[1, 0, 0] < 128 else 0  # a pointwise exception
-    # x[2] untouched relative to its ref? its ref is x[1]; leave = dense
 
-    def run_pack(force_numpy):
-        pk, *_ = make_duplex_restore(lambda a: a)
-        k0, _ = pk(prev_batch)
-        assert k0 == "full"
-        return pk(x, _force_numpy=force_numpy), dict(pk.stats)
-
-    (kind_c, pay_c), st_c = run_pack(False)
-    (kind_n, pay_n), st_n = run_pack(True)
-    assert kind_c == kind_n
-    if kind_c == "packed":
-        for a, bb in zip(pay_c, pay_n):
-            assert a.dtype == bb.dtype and a.shape == bb.shape
-            assert (a == bb).all()
-    assert st_c["exc_frac"] == st_n["exc_frac"]
-    assert st_c["h2d_bytes"] == st_n["h2d_bytes"]
+    pay_c, exc_c = native.duplex_pack(x, refs, _bucket)
+    pay_n, exc_n = _pack_payload_numpy(x, refs)
+    assert exc_c == exc_n
+    for a, bb in zip(pay_c, pay_n):
+        assert a.dtype == bb.dtype and a.shape == bb.shape
+        assert (a == bb).all()
+    # all three classes actually engaged
+    nb = -(-x.size // 256)
+    assert (pay_c[2] < nb).any() and (pay_c[0] < nb).any() and (pay_c[4] >= 0).any()
 
 
 @needs_native

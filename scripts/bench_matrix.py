@@ -43,25 +43,28 @@ def main(out_path="bench_matrix.json"):
         "device_ms_per_frame": {},
     }
 
+    # per-GEOMETRY builders: the tuned table carries per-geometry-class
+    # tile configs (ops/tuning.tuned_kwargs(h, w)), so each geometry gets
+    # the program the production engine would serve it with
     builders = {
-        "pallas3": lambda: build_tuned(p, kernel=3),
-        "pallas2": lambda: build_tuned(p, kernel=2),
-        "xla": lambda: make_forward(p, impl="auto"),
+        "pallas3": lambda h, w: build_tuned(p, kernel=3, h=h, w=w),
+        "pallas2": lambda h, w: build_tuned(p, kernel=2),
+        "xla": lambda h, w: make_forward(p, impl="auto"),
     }
     only = os.environ.get("BENCH_IMPLS")  # e.g. "pallas2" or "xla,pallas2"
     if only:
         builders = {k: v for k, v in builders.items() if k in only.split(",")}
 
     for name, mk in builders.items():
-        try:
-            run = mk()
-        except Exception as e:  # noqa: BLE001
-            report["device_ms_per_frame"][name] = {"error": str(e)[:200]}
-            continue
         rows = {}
         for h, w, ref_ms in GEOMETRIES:
             batch = max(2, min(8, (1 << 21) // (h * w // 512)))
             batch += batch % 2
+            try:
+                run = mk(h, w)
+            except Exception as e:  # noqa: BLE001
+                rows[f"{w}x{h}"] = {"build_error": str(e)[:200]}
+                continue
             try:
                 x = jax.device_put(synth_frames(batch, h, w, seed=1))
                 o = run(x)

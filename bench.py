@@ -289,13 +289,22 @@ def main():
         try:
             transport = make_duplex_restore(run)
             kinds = []
-            for x in pool[:2]:  # compile all step programs OUTSIDE windows
+            # warm the WHOLE pool: every bucket shape the windows will see
+            # compiles here, outside the timed region (the remote compile
+            # helper takes seconds-to-minutes per new shape)
+            for x in pool:
                 item = transport.send(x)
                 kinds.append(item[0])
                 rec = transport.receive(x, item)
                 duplex_exact = bool(
                     (rec == np.asarray(run(jax.device_put(x)))).all()
                 ) and (duplex_exact in (None, True))
+            kinds = kinds[:2]
+            if duplex_exact:
+                # one wrap-around batch: the windows cycle the pool, so the
+                # pool[0]-after-pool[-1] delta pairing needs its buckets
+                # compiled outside the window too
+                transport.receive(pool[0], transport.send(pool[0]))
             if duplex_exact and kinds == ["full", "packed"]:
                 # transport carries chain across windows: steady state is
                 # all-sparse in both directions

@@ -132,6 +132,15 @@ BLK = 256  # flat-raster block size for the sparse delta transports
 RF_RADIUS = 6  # the net's receptive radius (ops/pallas_pipeline.HALO)
 
 
+def _start_d2h(*arrays) -> None:
+    """Kick off device->host copies without blocking (best effort)."""
+    for a in arrays:
+        try:
+            a.copy_to_host_async()
+        except Exception:
+            pass  # older jax / non-device arrays: asarray will fetch
+
+
 def _bucket(n: int, lo: int = 8) -> int:
     if n == 0:
         return 0  # empty class: zero wire bytes, zero-sized operand
@@ -365,6 +374,7 @@ class DuplexTransport:
         if payload is None or self._carry is None:
             self.stats["h2d_bytes"].append(x.nbytes)
             self._carry, rec = self._step_full(jax.device_put(x))
+            _start_d2h(rec)
             return ("full", rec, x.shape)
         self.stats["h2d_bytes"].append(wire + bidx_p.nbytes)
         b, h, w = x.shape
@@ -379,6 +389,11 @@ class DuplexTransport:
             anchor, self._carry[1]
         )
         g = self._gather(kb)(plane, jax.device_put(bidx_p))
+        # start the D2H copies NOW: transfers stream while later batches
+        # compute, so the consumer's fetches never serialize a round trip
+        # each (measured: per-fetch RTTs through the tunnel dominated the
+        # duplex loop before this). rec stays device-resident (fallback).
+        _start_d2h(g, idx, val, count)
         return ("packed", g, idx, val, count, rec, bidx_p, nbp, x.shape)
 
     # ---- consumer side -------------------------------------------------

@@ -81,8 +81,17 @@ def pipeline_restore(
             # minutes through the remote Mosaic compile helper. An explicit
             # `device` opts into committed placement (multi-device callers).
             staged = jax.device_put(x, device) if device is not None else jax.device_put(x)
-            q.put(run(staged))  # async dispatch; blocks only when the
-            # pipeline is `depth` deep (backpressure)
+            out = run(staged)  # async dispatch
+            # start D2H copies immediately: component fetches on the
+            # fetcher thread would otherwise serialize one link round
+            # trip EACH (multi-array outputs like the packed transport)
+            for a in out if isinstance(out, (tuple, list)) else (out,):
+                try:
+                    a.copy_to_host_async()
+                except Exception:
+                    pass
+            q.put(out)  # blocks only when the pipeline is `depth`
+            # deep (backpressure)
     finally:
         q.put(done)
         th.join()

@@ -420,6 +420,14 @@ class DuplexTransport:
         self.stats["d2h_bytes"].append(
             rows.nbytes + idxn.nbytes + valn.nbytes + 4
         )
+        from qcnn_gpu_tpu import native
+
+        out = native.duplex_decode(
+            x, rows, bidx_p, nbp, idxn, valn, c, self._res
+        )  # C++ fast path; NumPy below defines the semantics
+        if out is not None:
+            rec, self._res = out
+            return rec
         exp = np.empty((rows.shape[0], BLK), np.int16)
         exp[:, 0::2] = rows & 15
         exp[:, 1::2] = rows >> 4

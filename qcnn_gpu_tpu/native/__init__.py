@@ -73,6 +73,14 @@ def lib() -> Optional[ctypes.CDLL]:
             ctypes.c_longlong, ctypes.c_longlong,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_longlong, ctypes.c_void_p,
         ]
+        h.duplex_decode.restype = None
+        h.duplex_decode.argtypes = [
+            ctypes.c_void_p, ctypes.c_longlong, ctypes.c_longlong,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_longlong,
+            ctypes.c_longlong,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_longlong,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ]
         _lib = h
     except Exception:
         _lib = None
@@ -154,6 +162,34 @@ def residual_decode(x_host: np.ndarray, nib: np.ndarray, idx: np.ndarray,
         _ptr(x), _ptr(nibc), b * hh, w, _ptr(idxc), _ptr(valc), n_exc, _ptr(out)
     )
     return out
+
+
+def duplex_decode(x: np.ndarray, rows: np.ndarray, bidx: np.ndarray,
+                  nbp: int, idx: np.ndarray, val: np.ndarray, n_exc: int,
+                  prev_res: np.ndarray):
+    """Native duplex receive decode -> (rec u8 [B,H,W], res_last i16
+    [1,H,W]) or None. Semantics defined by DuplexTransport.receive's
+    NumPy path (engine/packed.py)."""
+    h = lib()
+    if h is None:
+        return None
+    b, hh, w = x.shape
+    hw = hh * w
+    xc = np.ascontiguousarray(x, dtype=np.uint8)
+    rowsc = np.ascontiguousarray(rows, dtype=np.uint8)
+    bidxc = np.ascontiguousarray(bidx, dtype=np.int32)
+    idxc = np.ascontiguousarray(idx, dtype=np.int32)
+    valc = np.ascontiguousarray(val, dtype=np.int16)
+    prevc = np.ascontiguousarray(prev_res.reshape(-1), dtype=np.int16)
+    rec = np.empty_like(xc)
+    res_last = np.empty(hw, np.int16)
+    scratch = np.empty(b * hw, np.int16)
+    h.duplex_decode(
+        _ptr(xc), b, hw, _ptr(rowsc), _ptr(bidxc), rowsc.shape[0], nbp,
+        _ptr(idxc), _ptr(valc), n_exc, _ptr(prevc), _ptr(rec),
+        _ptr(res_last), _ptr(scratch),
+    )
+    return rec, res_last.reshape(1, hh, w)
 
 
 def psnr(a: np.ndarray, b: np.ndarray):

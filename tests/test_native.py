@@ -118,3 +118,53 @@ def test_native_residual_decode_matches_numpy():
     )
     assert got_native is not None and (got_native == want).all()
     assert (decode(x, fetched) == want).all()  # public path (native inside)
+
+
+@needs_native
+def test_native_duplex_decode_matches_numpy(monkeypatch):
+    """DuplexTransport.receive's C++ decode must be bit-identical to the
+    NumPy path across a chained packed stream (incl. exceptions and a
+    straddling tail block)."""
+    import jax.numpy as jnp
+
+    from qcnn_gpu_tpu.engine import packed as P
+
+    rng = np.random.default_rng(17)
+    h, w, b = 24, 37, 3  # b*h*w = 2664: 10 blocks + tail
+    shift = rng.integers(-30, 31, (b, h, w)).astype(np.int16)
+
+    def run(x):
+        return jnp.clip(x.astype(jnp.int16) + jnp.asarray(shift), 0, 255).astype(
+            jnp.uint8
+        )
+
+    def batches():
+        base = rng.integers(0, 256, (h, w), np.uint8)
+        out = []
+        cur = base.astype(np.int16)
+        for _ in range(3 * b):
+            cur = np.clip(cur + rng.integers(-4, 5, (h, w)), 0, 255)
+            out.append(cur.astype(np.uint8))
+        fr = np.stack(out)
+        return [fr[i * b : (i + 1) * b] for i in range(3)]
+
+    def drive(force_numpy):
+        if force_numpy:
+            monkeypatch.setattr(native, "duplex_decode", lambda *a, **k: None)
+        rng2 = np.random.default_rng(17)  # same content both drives
+        tr = P.make_duplex_restore(run, capacity_frac=0.2)
+        recs = []
+        for x in bat:
+            recs.append(tr.receive(x, tr.send(x)))
+        if force_numpy:
+            monkeypatch.undo()
+        return recs
+
+    bat = batches()
+    recs_native = drive(False)
+    recs_numpy = drive(True)
+    for a, bb in zip(recs_native, recs_numpy):
+        assert (a == bb).all()
+    want = [np.clip(x.astype(np.int16) + shift, 0, 255).astype(np.uint8) for x in bat]
+    for a, wv in zip(recs_native, want):
+        assert (a == wv).all()

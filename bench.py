@@ -243,12 +243,13 @@ def main():
         d: dict = {}
         t0 = time.perf_counter()
 
-        def windows_of(fn, key):
+        def windows_of(fn, key, deadline=None):
             ws = []
+            end = deadline if deadline is not None else t0 + budget_s
             for _ in range(2 if slow_link else n_windows):
                 ws.append(round(fn(), 2))
                 _mark(f"{key} window -> {ws[-1]}")
-                if time.perf_counter() - t0 > budget_s:
+                if time.perf_counter() > end:
                     break
             d[key] = ws
             return max(ws)
@@ -289,30 +290,35 @@ def main():
         try:
             transport = make_duplex_restore(run)
             kinds = []
-            # warm the WHOLE pool: every bucket shape the windows will see
-            # compiles here, outside the timed region (the remote compile
-            # helper takes seconds-to-minutes per new shape)
-            for x in pool:
+            # warm the pool TWICE: the second pass (after the first's
+            # wrap) exercises exactly the delta pairings the cycling
+            # windows will see — incl. pool[0]-after-pool[-1] — so every
+            # bucket shape compiles here, outside the timed region (the
+            # remote compile helper takes seconds-to-minutes per shape)
+            _mark("duplex warmup (2 pool passes)")
+            for i, x in enumerate(pool + pool):
                 item = transport.send(x)
                 kinds.append(item[0])
                 rec = transport.receive(x, item)
-                duplex_exact = bool(
-                    (rec == np.asarray(run(jax.device_put(x)))).all()
-                ) and (duplex_exact in (None, True))
+                if i < 2:  # exactness gate: full + first packed batch
+                    # (gold fetch is 2 B/px through the link; the rest of
+                    # the chain is covered by CPU tests + golden duplex)
+                    duplex_exact = bool(
+                        (rec == np.asarray(run(jax.device_put(x)))).all()
+                    ) and (duplex_exact in (None, True))
             kinds = kinds[:2]
-            if duplex_exact:
-                # one wrap-around batch: the windows cycle the pool, so the
-                # pool[0]-after-pool[-1] delta pairing needs its buckets
-                # compiled outside the window too
-                transport.receive(pool[0], transport.send(pool[0]))
             if duplex_exact and kinds == ["full", "packed"]:
                 # transport carries chain across windows: steady state is
-                # all-sparse in both directions
+                # all-sparse in both directions. Duplex gets its own
+                # window allowance — the warmup above legitimately spends
+                # the shared budget on compiles
+                _mark("duplex windows")
                 fps_duplex = windows_of(
                     lambda: measure_stream_fps_duplex(
                         transport, pool, depth=DEPTH
                     ),
                     "windows_duplex",
+                    deadline=time.perf_counter() + budget_s / 2,
                 )
         except Exception as e:
             duplex_exact = f"error: {type(e).__name__}"

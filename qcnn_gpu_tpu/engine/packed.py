@@ -367,7 +367,12 @@ class DuplexTransport:
             if wire >= x.nbytes:  # content too hot for the format
                 payload = None
             else:
-                bidx, nbp = _predict_changed_blocks(x, refs)
+                pred = None
+                if not _force_numpy:
+                    pred = native.duplex_predict(x, refs)  # C++ fast path
+                bidx, nbp = (
+                    pred if pred is not None else _predict_changed_blocks(x, refs)
+                )
                 kb = _bucket(bidx.size)
                 bidx_p = np.full(kb, nbp, np.int32)
                 bidx_p[: bidx.size] = bidx

@@ -73,6 +73,14 @@ def lib() -> Optional[ctypes.CDLL]:
             ctypes.c_longlong, ctypes.c_longlong,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_longlong, ctypes.c_void_p,
         ]
+        h.duplex_predict_tiles.restype = None
+        h.duplex_predict_tiles.argtypes = [ctypes.c_void_p] * 2 + [
+            ctypes.c_longlong
+        ] * 3 + [ctypes.c_void_p]
+        h.duplex_predict_blocks.restype = None
+        h.duplex_predict_blocks.argtypes = [ctypes.c_void_p] + [
+            ctypes.c_longlong
+        ] * 3 + [ctypes.c_void_p]
         h.duplex_decode.restype = None
         h.duplex_decode.argtypes = [
             ctypes.c_void_p, ctypes.c_longlong, ctypes.c_longlong,
@@ -162,6 +170,35 @@ def residual_decode(x_host: np.ndarray, nib: np.ndarray, idx: np.ndarray,
         _ptr(x), _ptr(nibc), b * hh, w, _ptr(idxc), _ptr(valc), n_exc, _ptr(out)
     )
     return out
+
+
+def duplex_predict(x: np.ndarray, refs: np.ndarray):
+    """Native predicted-changed-block list (engine/packed.py
+    _predict_changed_blocks semantics) -> (bidx i32 ascending, nb) or
+    None. Dilation of the 8-px tile mask runs in NumPy (tiny grid)."""
+    h = lib()
+    if h is None:
+        return None
+    b, hh, w = x.shape
+    ht, wt = -(-hh // 8), -(-w // 8)
+    xc = np.ascontiguousarray(x, dtype=np.uint8)
+    rc = np.ascontiguousarray(refs, dtype=np.uint8)
+    tiles = np.zeros(b * ht * wt, np.uint8)
+    h.duplex_predict_tiles(_ptr(xc), _ptr(rc), b, hh, w, _ptr(tiles))
+    t = tiles.reshape(b, ht, wt).astype(bool)
+    dil = t.copy()
+    dil[:, 1:] |= t[:, :-1]
+    dil[:, :-1] |= t[:, 1:]
+    d2 = dil.copy()
+    d2[:, :, 1:] |= dil[:, :, :-1]
+    d2[:, :, :-1] |= dil[:, :, 1:]
+    nb = -(-b * hh * w // 256)
+    blk = np.zeros(nb, np.uint8)
+    h.duplex_predict_blocks(
+        _ptr(np.ascontiguousarray(d2.astype(np.uint8)).reshape(-1)),
+        b, hh, w, _ptr(blk),
+    )
+    return np.nonzero(blk)[0].astype(np.int32), nb
 
 
 def duplex_decode(x: np.ndarray, rows: np.ndarray, bidx: np.ndarray,

@@ -170,4 +170,43 @@ void duplex_decode(const uint8_t* x, int64_t nframes, int64_t hw,
   }
 }
 
+// Prediction pass 1: per-8x8-tile any-changed mask (tiles zeroed by the
+// caller, [b * ceil(h/8) * ceil(w/8)] row-major).
+void duplex_predict_tiles(const uint8_t* x, const uint8_t* ref,
+                          int64_t b, int64_t h, int64_t w, uint8_t* tiles) {
+  int64_t ht = (h + 7) / 8, wt = (w + 7) / 8;
+  for (int64_t f = 0; f < b; ++f) {
+    for (int64_t r = 0; r < h; ++r) {
+      const uint8_t* xr = x + (f * h + r) * w;
+      const uint8_t* rr = ref + (f * h + r) * w;
+      uint8_t* trow = tiles + (f * ht + r / 8) * wt;
+      for (int64_t c = 0; c < w; ++c)
+        if (xr[c] != rr[c]) trow[c / 8] = 1;
+    }
+  }
+}
+
+// Prediction pass 2: mark the flat 256-px blocks intersecting any marked
+// (already-dilated) tile. blk is [ceil(b*h*w/256)], zeroed by the caller.
+void duplex_predict_blocks(const uint8_t* tiles, int64_t b, int64_t h,
+                           int64_t w, uint8_t* blk) {
+  int64_t ht = (h + 7) / 8, wt = (w + 7) / 8;
+  for (int64_t f = 0; f < b; ++f) {
+    for (int64_t tr = 0; tr < ht; ++tr) {
+      const uint8_t* trow = tiles + (f * ht + tr) * wt;
+      int64_t r1 = (tr * 8 + 8 < h) ? tr * 8 + 8 : h;
+      for (int64_t tc = 0; tc < wt; ++tc) {
+        if (!trow[tc]) continue;
+        int64_t c0 = tc * 8;
+        int64_t c1 = (c0 + 8 < w) ? c0 + 8 : w;  // exclusive
+        for (int64_t r = tr * 8; r < r1; ++r) {
+          int64_t base = (f * h + r) * w;
+          int64_t b0 = (base + c0) / BLK, b1 = (base + c1 - 1) / BLK;
+          for (int64_t bi = b0; bi <= b1; ++bi) blk[bi] = 1;
+        }
+      }
+    }
+  }
+}
+
 }  // extern "C"

@@ -168,3 +168,24 @@ def test_native_duplex_decode_matches_numpy(monkeypatch):
     want = [np.clip(x.astype(np.int16) + shift, 0, 255).astype(np.uint8) for x in bat]
     for a, wv in zip(recs_native, want):
         assert (a == wv).all()
+
+
+@needs_native
+def test_native_duplex_predict_matches_numpy():
+    from qcnn_gpu_tpu.engine.packed import _predict_changed_blocks
+
+    rng = np.random.default_rng(23)
+    for h, w, b in ((24, 37, 3), (64, 256, 2), (40, 45, 1)):
+        refs = rng.integers(0, 256, (b, h, w), np.uint8)
+        x = refs.copy()
+        # scattered single-pixel changes + a rectangle
+        for _ in range(5):
+            f, r, c = rng.integers(0, b), rng.integers(0, h), rng.integers(0, w)
+            x[f, r, c] ^= 0x1F
+        x[0, 2 : min(10, h), 3 : min(20, w)] ^= 3
+        got = native.duplex_predict(x, refs)
+        assert got is not None
+        bidx_c, nb_c = got
+        bidx_n, nb_n = _predict_changed_blocks(x, refs)
+        assert nb_c == nb_n
+        assert (bidx_c == bidx_n).all()

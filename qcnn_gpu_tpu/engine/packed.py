@@ -264,7 +264,14 @@ class DuplexTransport:
         self._jax, self._jnp = jax, jnp
         self._run = run
         self._cf = capacity_frac
-        self.stats = {"exc_frac": [], "h2d_bytes": [], "d2h_bytes": []}
+        self.stats = {
+            "exc_frac": [], "h2d_bytes": [], "d2h_bytes": [],
+            # stage timers (seconds, one entry per batch) for bottleneck
+            # hunting on real links: producer pack/predict/upload+dispatch,
+            # consumer fetch-wait/decode
+            "t_pack": [], "t_predict": [], "t_dispatch": [],
+            "t_fetch": [], "t_decode": [],
+        }
         self._prev: Optional[np.ndarray] = None  # host u8 [1,H,W]
         self._res: Optional[np.ndarray] = None  # host i16 [1,H,W]
         self._carry = None  # device (anchor u8 [1,H,W], res i16 [1,H,W])
@@ -354,6 +361,7 @@ class DuplexTransport:
         payload = None
         if prev is not None:
             refs = np.concatenate([prev, x[:-1]], axis=0)
+            t0 = time.perf_counter()
             res = None
             if not _force_numpy:
                 from qcnn_gpu_tpu import native
@@ -361,12 +369,14 @@ class DuplexTransport:
                 res = native.duplex_pack(x, refs, _bucket)  # C++ fast path
             if res is None:
                 res = _pack_payload_numpy(x, refs)
+            self.stats["t_pack"].append(time.perf_counter() - t0)
             payload, n_exc_all = res
             self.stats["exc_frac"].append(n_exc_all / x.size)
             wire = sum(a.nbytes for a in payload)
             if wire >= x.nbytes:  # content too hot for the format
                 payload = None
             else:
+                t0 = time.perf_counter()
                 pred = None
                 if not _force_numpy:
                     pred = native.duplex_predict(x, refs)  # C++ fast path
@@ -376,12 +386,14 @@ class DuplexTransport:
                 kb = _bucket(bidx.size)
                 bidx_p = np.full(kb, nbp, np.int32)
                 bidx_p[: bidx.size] = bidx
+                self.stats["t_predict"].append(time.perf_counter() - t0)
         if payload is None or self._carry is None:
             self.stats["h2d_bytes"].append(x.nbytes)
             self._carry, rec = self._step_full(jax.device_put(x))
             _start_d2h(rec)
             return ("full", rec, x.shape)
         self.stats["h2d_bytes"].append(wire + bidx_p.nbytes)
+        t0 = time.perf_counter()
         b, h, w = x.shape
         if self._core is None or self._core_shape != (b, h, w):
             self._core = self._build_core(b, h, w)
@@ -399,6 +411,7 @@ class DuplexTransport:
         # each (measured: per-fetch RTTs through the tunnel dominated the
         # duplex loop before this). rec stays device-resident (fallback).
         _start_d2h(g, idx, val, count)
+        self.stats["t_dispatch"].append(time.perf_counter() - t0)
         return ("packed", g, idx, val, count, rec, bidx_p, nbp, x.shape)
 
     # ---- consumer side -------------------------------------------------
@@ -416,12 +429,15 @@ class DuplexTransport:
         _, g, idx, val, count, rec_dev, bidx_p, nbp, shape = item
         b, h, w = shape
         npx = b * h * w
+        t0 = time.perf_counter()
         c = int(np.asarray(count))
         if c > idx.size:  # exception overflow: lossless dense fallback
             return self._receive_full(x, rec_dev)
         rows = np.asarray(g)  # [kb, 128] gathered nibble blocks
         idxn = np.asarray(idx)
         valn = np.asarray(val)
+        self.stats["t_fetch"].append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
         self.stats["d2h_bytes"].append(
             rows.nbytes + idxn.nbytes + valn.nbytes + 4
         )
@@ -432,6 +448,7 @@ class DuplexTransport:
         )  # C++ fast path; NumPy below defines the semantics
         if out is not None:
             rec, self._res = out
+            self.stats["t_decode"].append(time.perf_counter() - t0)
             return rec
         exp = np.empty((rows.shape[0], BLK), np.int16)
         exp[:, 0::2] = rows & 15
@@ -447,6 +464,7 @@ class DuplexTransport:
         res = self._res + np.cumsum(rd, axis=0, dtype=np.int16)
         rec = (x.astype(np.int16) + res).astype(np.uint8)
         self._res = res[-1:]
+        self.stats["t_decode"].append(time.perf_counter() - t0)
         return rec
 
 

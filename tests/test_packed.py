@@ -212,7 +212,7 @@ def test_duplex_block_sparse_static_scene():
         assert (rec == x).all()  # identity restorer: rec == x
         if j > 0:
             assert item[0] == "packed"
-            assert item[6].size > 0  # predicted block list engaged
+            assert item[3].size > 0  # predicted block list engaged
             assert tr.stats["h2d_bytes"][-1] < 0.6 * x.nbytes
             assert tr.stats["d2h_bytes"][-1] < 0.6 * x.nbytes
     assert tr.stats["h2d_bytes"][0] == batches[0].nbytes  # cold full

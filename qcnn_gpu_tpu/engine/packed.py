@@ -155,9 +155,9 @@ def _pack_payload_numpy(x: np.ndarray, refs: np.ndarray):
     native C++ packer (native/transport.cpp) must produce byte-identical
     payloads. Three block classes: ALL-ZERO ships nothing (static regions
     of a coded video are bit-identical frame to frame); DENSE-exception
-    blocks (moving content) ship raw int16 deltas (512 B beats
-    6 B/exception past ~85/256); the rest ship 4-bit nibbles plus a
-    pointwise exception list for stragglers."""
+    blocks (moving content) ship raw int8 deltas (260 B beats
+    6 B/exception past ~43/256; |d|>127 rides the exception list); the
+    rest ship 4-bit nibbles plus a pointwise exception list."""
     d = (x.astype(np.int16) - refs).reshape(-1)
     npx = d.size
     nb_total = -(-npx // BLK)
@@ -166,17 +166,22 @@ def _pack_payload_numpy(x: np.ndarray, refs: np.ndarray):
     blocks = d.reshape(nb_total, BLK)
     exc_cnt = ((blocks > 7) | (blocks < -8)).sum(axis=1)
     nz = (blocks != 0).any(axis=1)
-    raw_sel = nz & (exc_cnt * 6 >= BLK * 2 + 4)
+    # raw blocks carry INT8 deltas (a uint8-frame delta exceeds ±127 only
+    # at extreme contrast steps; those rare pixels ride the shared
+    # pointwise exception list), so raw costs ~260 B vs int16's 516
+    raw_sel = nz & (exc_cnt * 6 >= BLK + 4)
     nib_sel = nz & ~raw_sel
     (raw_ids,) = np.nonzero(raw_sel)
     (nib_ids,) = np.nonzero(nib_sel)
-    exc_flat = ((blocks > 7) | (blocks < -8)) & nib_sel[:, None]
+    exc_flat = (((blocks > 7) | (blocks < -8)) & nib_sel[:, None]) | (
+        ((blocks > 127) | (blocks < -128)) & raw_sel[:, None]
+    )
     ne = int(exc_flat.sum())
     kr, kn, ke = _bucket(raw_ids.size), _bucket(nib_ids.size), _bucket(ne)
     raw_idx = np.full(kr, nb_total, np.int32)
     raw_idx[: raw_ids.size] = raw_ids
-    raw_val = np.zeros((kr, BLK), np.int16)
-    raw_val[: raw_ids.size] = blocks[raw_ids]
+    raw_val = np.zeros((kr, BLK), np.int8)
+    raw_val[: raw_ids.size] = np.clip(blocks[raw_ids], -128, 127)
     d4 = (np.clip(blocks[nib_ids], -8, 7) + 8).astype(np.uint8)
     nib = np.zeros((kn, BLK // 2), np.uint8)
     nib[: nib_ids.size] = d4[:, 0::2] | (d4[:, 1::2] << 4)
@@ -326,7 +331,7 @@ class DuplexTransport:
     def _h2d_layout(kn, kr, ke, kb):
         o = [0]
         for nbytes in (4 * kn, 4 * kr, 4 * ke, 4 * kb, 2 * ke,
-                       512 * kr, 128 * kn):
+                       256 * kr, 128 * kn):
             o.append(o[-1] + nbytes)
         return o
 
@@ -353,7 +358,11 @@ class DuplexTransport:
                 raw_idx = seg(buf, o[1], o[2], jnp.int32, 4)
                 idx = seg(buf, o[2], o[3], jnp.int32, 4)
                 val = seg(buf, o[4], o[5], jnp.int16, 2)
-                raw_val = seg(buf, o[5], o[6], jnp.int16, 2).reshape(kr, BLK)
+                raw_val = (
+                    lax.bitcast_convert_type(buf[o[5]:o[6]], jnp.int8)
+                    .astype(jnp.int16)
+                    .reshape(kr, BLK)
+                )
                 nib = seg(buf, o[6], o[7], jnp.uint8, 1).reshape(kn, BLK // 2)
                 lo_n = (nib & 15).astype(jnp.int16) - 8
                 hi_n = (nib >> 4).astype(jnp.int16) - 8

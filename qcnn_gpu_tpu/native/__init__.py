@@ -141,7 +141,7 @@ def duplex_pack(x: np.ndarray, refs: np.ndarray, bucket_fn):
     n_raw, n_nib, n_exc, n_exc_all = (int(v) for v in counts)
     kr, kn, ke = bucket_fn(n_raw), bucket_fn(n_nib), bucket_fn(n_exc)
     raw_idx = np.full(kr, nb, np.int32)
-    raw_val = np.zeros((kr, 256), np.int16)
+    raw_val = np.zeros((kr, 256), np.int8)
     nib_idx = np.full(kn, nb, np.int32)
     nib = np.zeros((kn, 128), np.uint8)
     idx = np.full(ke, nb * 256, np.int32)

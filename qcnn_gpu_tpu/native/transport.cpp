@@ -34,19 +34,21 @@ void duplex_classify(const uint8_t* x, const uint8_t* ref, int64_t n,
   int64_t n_raw = 0, n_nib = 0, n_exc = 0, n_exc_all = 0;
   for (int64_t b = 0; b < nb; ++b) {
     int64_t lo = b * BLK, hi = lo + BLK < n ? lo + BLK : n;
-    int exc = 0;
+    int exc = 0, exc127 = 0;
     bool nz = false;
     for (int64_t i = lo; i < hi; ++i) {
       int d = (int)x[i] - (int)ref[i];
       nz |= d != 0;
       exc += (d > 7) | (d < -8);
+      exc127 += (d > 127) | (d < -128);
     }
     n_exc_all += exc;
     if (!nz) {
       cls[b] = 0;
-    } else if ((int64_t)exc * 6 >= BLK * 2 + 4) {  // raw beats pointwise
+    } else if ((int64_t)exc * 6 >= BLK + 4) {  // int8 raw beats pointwise
       cls[b] = 2;
       ++n_raw;
+      n_exc += exc127;  // raw blocks: only |d|>127 rides the list
     } else {
       cls[b] = 1;
       ++n_nib;
@@ -65,7 +67,7 @@ void duplex_classify(const uint8_t* x, const uint8_t* ref, int64_t n,
 void duplex_fill(const uint8_t* x, const uint8_t* ref, int64_t n,
                  const uint8_t* cls,
                  int32_t* nib_idx, uint8_t* nib,       // [kn], [kn*128]
-                 int32_t* raw_idx, int16_t* raw_val,   // [kr], [kr*256]
+                 int32_t* raw_idx, int8_t* raw_val,    // [kr], [kr*256]
                  int32_t* exc_idx, int16_t* exc_val) { // [ke], [ke]
   int64_t nb = (n + BLK - 1) / BLK;
   int64_t ir = 0, in_ = 0, ie = 0;
@@ -79,7 +81,16 @@ void duplex_fill(const uint8_t* x, const uint8_t* ref, int64_t n,
     for (int64_t i = m; i < BLK; ++i) d[i] = 0;
     if (cls[b] == 2) {
       raw_idx[ir] = (int32_t)b;
-      std::memcpy(raw_val + ir * BLK, d, BLK * sizeof(int16_t));
+      int8_t* out = raw_val + ir * BLK;
+      for (int64_t i = 0; i < BLK; ++i)
+        out[i] = (int8_t)(d[i] < -128 ? -128 : (d[i] > 127 ? 127 : d[i]));
+      for (int64_t i = 0; i < m; ++i) {
+        if (d[i] > 127 || d[i] < -128) {
+          exc_idx[ie] = (int32_t)(lo + i);
+          exc_val[ie] = d[i];
+          ++ie;
+        }
+      }
       ++ir;
     } else {
       nib_idx[in_] = (int32_t)b;

@@ -113,6 +113,8 @@ def main(out_path="bench_matrix.json"):
                                         "tiled_error": str(e2)[:200]}
                     print(f"{name} {w}x{h}: FAIL {str(e)[:120]}", flush=True)
         report["device_ms_per_frame"][name] = rows
+        with open(out_path, "w") as fp:  # incremental: survive timeouts
+            json.dump(report, fp, indent=1)
 
     # batch-scaling curve @1080p on the shipping kernel (multi-chip
     # projections need a measured per-chip batch basis)

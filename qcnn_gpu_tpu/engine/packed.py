@@ -1,21 +1,25 @@
-"""Compact D2H transport for restored frames (link-bound streaming).
+"""Packed wire transports for link-bound streaming (bit-exact).
 
-The reference's timing definition includes the D2H copy of the full recon
-frame (kernel.cu:96, timed at kernel.cu:89-101). When the host link — not
-the chip — bounds throughput (this dev TPU sits behind a ~20-40 MB/s
-network tunnel; a PCIe/DCN-starved production host has the same shape),
-the round trip moves 2 bytes/pixel: anchor up, recon down. The recon is
-redundant: the host already holds the anchor, and the restoration
-residual rec − x is a low-entropy signal (the net's whole purpose is a
-sub-1-dB correction; residuals sit overwhelmingly within ±7). So the
-device ships the residual as packed 4-bit nibbles (0.5 B/px) plus an
-EXACT exception list for the rare |diff| > 7 pixels, and the host
-reconstructs rec = x + diff bit-exactly. D2H bytes drop ~2x; the host
-decode cost lands inside the timed window (honest accounting).
+The reference's timing definition includes both host<->device copies
+(kernel.cu:89-101). When the link — not the chip — bounds throughput (a
+thin PCIe share, remote serving, this dev TPU's network tunnel), the raw
+round trip moves 2 B/px: anchor up, recon down. Both directions are
+redundant:
 
-Bit-exactness contract: decode(x, pack(x)) == run(x) for every input, or
-OverflowError when the exception list overflows its fixed capacity (the
-caller falls back to the full-recon fetch — never silent corruption).
+* D2H (make_packed_restore): the restoration residual rec − x is a
+  low-entropy signal (a sub-1-dB correction, overwhelmingly within ±7)
+  — ship 4-bit nibbles + an EXACT exception list; ~0.53 B/px.
+* duplex (DuplexTransport): successive decoded-video frames are
+  temporally redundant AND the restorer is a deterministic per-frame
+  conv net with a 6-px receptive radius — ship block-sparse temporal
+  deltas up and fetch only the PREDICTABLY-changed residual-delta
+  blocks down; ~0.1-0.3 B/px each way on static-camera content, with
+  measured per-batch byte/stage accounting in `stats`.
+
+Every path is lossless by construction: content the formats cannot beat
+raw bytes on ships raw, exception-capacity overflow falls back to the
+dense fetch, and the NumPy implementations define the semantics the C++
+fast paths (native/transport.cpp) must match byte-for-byte.
 """
 
 from __future__ import annotations
@@ -297,11 +301,15 @@ class DuplexTransport:
     # ---- device programs ----------------------------------------------
 
     def _build_core(self, b, h, w):
+        """The ONE per-geometry program: net + residual-delta plane. The
+        delta pack is deliberately cheap — an earlier format extracted a
+        global exception list with jnp.nonzero over the full raster and
+        that alone cost ~600 ms/batch on device (vs the net's 76); the
+        int8 plane needs only a subtract + pad."""
         jax, jnp = self._jax, self._jnp
-        run, cf = self._run, self._cf
+        run = self._run
         npx = b * h * w
         nb = -(-npx // BLK)
-        k = max(1024, int(npx * cf))
 
         @jax.jit
         def core(anchor, prev_res):
@@ -309,15 +317,8 @@ class DuplexTransport:
             res = rec.astype(jnp.int16) - anchor.astype(jnp.int16)
             res_ref = jnp.concatenate([prev_res, res[:-1]], axis=0)
             rd = (res - res_ref).reshape(-1)  # [-510, 510]
-            rdp = jnp.pad(rd, (0, nb * BLK - npx))
-            d4 = (jnp.clip(rdp, -8, 7) + 8).astype(jnp.uint8)
-            plane = (d4[0::2] | (d4[1::2] << 4)).reshape(nb, BLK // 2)
-            exc = (rd > 7) | (rd < -8)
-            (idx,) = jnp.nonzero(exc, size=k, fill_value=npx)
-            idx = idx.astype(jnp.int32)
-            val = jnp.take(rd, jnp.minimum(idx, npx - 1)).astype(jnp.int16)
-            count = exc.sum(dtype=jnp.int32)
-            return (anchor[-1:], res[-1:]), (plane, idx, val, count), rec
+            rdp = jnp.pad(rd, (0, nb * BLK - npx)).reshape(nb, BLK)
+            return (anchor[-1:], res[-1:]), rdp, rec
 
         return core
 
@@ -378,29 +379,35 @@ class DuplexTransport:
             self._unpack_cache[key] = unpack
         return self._unpack_cache[key]
 
-    def _fetchpack(self, key, kn, kr, ke, kb, k):
+    def _fetchpack(self, key, kn, kr, ke, kb):
         """Per-bucket jitted gather + output coalescing: the predicted
-        residual-delta blocks, the exception list, and the count leave
-        the device as ONE u8 buffer (one async fetch per batch):
-          [rows u8 kb*128][idx i32 k][val i16 k][count i32]"""
+        residual-delta blocks leave the device as ONE u8 buffer
+        (one async fetch per batch):
+          [rows int8 kb*256][overflow u8 x4]
+        rows are int8-clipped deltas; `overflow` is set when ANY gathered
+        delta exceeds int8 (rd = res[b]−res[b−1] ∈ [-510, 510]; beyond
+        ±127 needs a >127-level residual jump — the host then falls back
+        to the dense recon fetch, lossless). No per-pixel exception list:
+        extracting one on device (global nonzero) measured ~600 ms/batch.
+        """
         if key not in self._gather_cache:
             jax, jnp = self._jax, self._jnp
             from jax import lax
 
             o = self._h2d_layout(kn, kr, ke, kb)
 
-            def as_u8(a):
-                return lax.bitcast_convert_type(a, jnp.uint8).reshape(-1)
-
             @jax.jit
-            def fetchpack(plane, idx, val, count, buf):
+            def fetchpack(rdp, buf):
                 bidx = lax.bitcast_convert_type(
                     buf[o[3]:o[4]].reshape(kb, 4), jnp.int32
                 )
-                rows = jnp.take(plane, bidx, axis=0, mode="fill", fill_value=0)
+                rows = jnp.take(rdp, bidx, axis=0, mode="fill", fill_value=0)
+                over = ((rows > 127) | (rows < -128)).any()
+                rows8 = jnp.clip(rows, -128, 127).astype(jnp.int8)
+                tail = jnp.full((4,), over.astype(jnp.uint8), jnp.uint8)
                 return jnp.concatenate([
-                    rows.reshape(-1),
-                    as_u8(idx), as_u8(val), as_u8(count.reshape(1)),
+                    lax.bitcast_convert_type(rows8, jnp.uint8).reshape(-1),
+                    tail,
                 ])
 
             self._gather_cache[key] = fetchpack
@@ -468,20 +475,15 @@ class DuplexTransport:
             nib.view(np.uint8).ravel(),
         ])
         key = (b, h, w, kn, kr, ke, kb)
-        k = max(1024, int(b * h * w * self._cf))
         buf_dev = jax.device_put(buf)
         anchor = self._unpack(key, b, h, w, kn, kr, ke, kb)(
             self._carry[0], buf_dev
         )
-        self._carry, (plane, idx, val, count), rec = self._core(
-            anchor, self._carry[1]
-        )
-        gout = self._fetchpack(key, kn, kr, ke, kb, k)(
-            plane, idx, val, count, buf_dev
-        )
+        self._carry, rdp, rec = self._core(anchor, self._carry[1])
+        gout = self._fetchpack(key, kn, kr, ke, kb)(rdp, buf_dev)
         _start_d2h(gout)
         self.stats["t_dispatch"].append(time.perf_counter() - t0)
-        return ("packed", gout, rec, bidx_p, nbp, (kb, k), x.shape)
+        return ("packed", gout, rec, bidx_p, nbp, kb, x.shape)
 
     # ---- consumer side -------------------------------------------------
 
@@ -495,40 +497,28 @@ class DuplexTransport:
         """Fetch + decode one batch (blocking); same order as `send`."""
         if item[0] == "full":
             return self._receive_full(x, item[1])
-        _, gout, rec_dev, bidx_p, nbp, (kb, k), shape = item
+        _, gout, rec_dev, bidx_p, nbp, kb, shape = item
         b, h, w = shape
         npx = b * h * w
         t0 = time.perf_counter()
-        buf = np.asarray(gout)  # ONE fetch: rows || idx || val || count
+        buf = np.asarray(gout)  # ONE fetch: int8 rows || overflow flag
         self.stats["t_fetch"].append(time.perf_counter() - t0)
         t0 = time.perf_counter()
-        rows = buf[: kb * 128].reshape(kb, 128)
-        idxn = buf[kb * 128 : kb * 128 + 4 * k].copy().view(np.int32)
-        valn = buf[kb * 128 + 4 * k : kb * 128 + 6 * k].copy().view(np.int16)
-        c = int(buf[-4:].copy().view(np.int32)[0])
-        if c > k:  # exception overflow: lossless dense fallback
+        if buf[-4]:  # a gathered delta exceeded int8: dense fallback
             return self._receive_full(x, rec_dev)
+        rows = buf[: kb * BLK].view(np.int8).reshape(kb, BLK)
         self.stats["d2h_bytes"].append(buf.nbytes)
         from qcnn_gpu_tpu import native
 
-        out = native.duplex_decode(
-            x, rows, bidx_p, nbp, idxn, valn, c, self._res
-        )  # C++ fast path; NumPy below defines the semantics
-        if out is not None:
+        out = native.duplex_decode8(x, rows, bidx_p, nbp, self._res)
+        if out is not None:  # C++ fast path; NumPy below is the semantics
             rec, self._res = out
             self.stats["t_decode"].append(time.perf_counter() - t0)
             return rec
-        exp = np.empty((rows.shape[0], BLK), np.int16)
-        exp[:, 0::2] = rows & 15
-        exp[:, 1::2] = rows >> 4
-        exp -= 8
         rdp = np.zeros((nbp, BLK), np.int16)
         valid = bidx_p < nbp
-        rdp[bidx_p[valid]] = exp[valid]
-        rdf = rdp.reshape(-1)[:npx]
-        if c:
-            rdf[idxn[:c]] = valn[:c]
-        rd = rdf.reshape(b, h, w)
+        rdp[bidx_p[valid]] = rows[valid]
+        rd = rdp.reshape(-1)[:npx].reshape(b, h, w)
         res = self._res + np.cumsum(rd, axis=0, dtype=np.int16)
         rec = (x.astype(np.int16) + res).astype(np.uint8)
         self._res = res[-1:]

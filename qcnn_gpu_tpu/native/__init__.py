@@ -81,12 +81,11 @@ def lib() -> Optional[ctypes.CDLL]:
         h.duplex_predict_blocks.argtypes = [ctypes.c_void_p] + [
             ctypes.c_longlong
         ] * 3 + [ctypes.c_void_p]
-        h.duplex_decode.restype = None
-        h.duplex_decode.argtypes = [
+        h.duplex_decode8.restype = None
+        h.duplex_decode8.argtypes = [
             ctypes.c_void_p, ctypes.c_longlong, ctypes.c_longlong,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_longlong,
             ctypes.c_longlong,
-            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_longlong,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ]
         _lib = h
@@ -201,30 +200,26 @@ def duplex_predict(x: np.ndarray, refs: np.ndarray):
     return np.nonzero(blk)[0].astype(np.int32), nb
 
 
-def duplex_decode(x: np.ndarray, rows: np.ndarray, bidx: np.ndarray,
-                  nbp: int, idx: np.ndarray, val: np.ndarray, n_exc: int,
-                  prev_res: np.ndarray):
-    """Native duplex receive decode -> (rec u8 [B,H,W], res_last i16
-    [1,H,W]) or None. Semantics defined by DuplexTransport.receive's
-    NumPy path (engine/packed.py)."""
+def duplex_decode8(x: np.ndarray, rows: np.ndarray, bidx: np.ndarray,
+                   nbp: int, prev_res: np.ndarray):
+    """Native duplex receive decode (int8 rd blocks) -> (rec u8 [B,H,W],
+    res_last i16 [1,H,W]) or None. Semantics defined by
+    DuplexTransport.receive's NumPy path (engine/packed.py)."""
     h = lib()
     if h is None:
         return None
     b, hh, w = x.shape
     hw = hh * w
     xc = np.ascontiguousarray(x, dtype=np.uint8)
-    rowsc = np.ascontiguousarray(rows, dtype=np.uint8)
+    rowsc = np.ascontiguousarray(rows, dtype=np.int8)
     bidxc = np.ascontiguousarray(bidx, dtype=np.int32)
-    idxc = np.ascontiguousarray(idx, dtype=np.int32)
-    valc = np.ascontiguousarray(val, dtype=np.int16)
     prevc = np.ascontiguousarray(prev_res.reshape(-1), dtype=np.int16)
     rec = np.empty_like(xc)
     res_last = np.empty(hw, np.int16)
     scratch = np.empty(b * hw, np.int16)
-    h.duplex_decode(
+    h.duplex_decode8(
         _ptr(xc), b, hw, _ptr(rowsc), _ptr(bidxc), rowsc.shape[0], nbp,
-        _ptr(idxc), _ptr(valc), n_exc, _ptr(prevc), _ptr(rec),
-        _ptr(res_last), _ptr(scratch),
+        _ptr(prevc), _ptr(rec), _ptr(res_last), _ptr(scratch),
     )
     return rec, res_last.reshape(1, hh, w)
 

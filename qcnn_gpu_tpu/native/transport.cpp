@@ -139,34 +139,24 @@ void residual_decode(const uint8_t* x, const uint8_t* nib,
   }
 }
 
-// Duplex receive decode: reassemble the sparse residual-delta field from
-// gathered nibble blocks + exceptions, integrate it over the batch axis
-// (res[b] = res[b-1] + rd[b]), and emit rec = x + res. One pass instead
-// of NumPy's expand/scatter/cumsum chain. prev_res is the carried last
-// residual [hw]; out_res_last receives the new carry.
-void duplex_decode(const uint8_t* x, int64_t nframes, int64_t hw,
-                   const uint8_t* rows, const int32_t* bidx, int64_t kb,
-                   int64_t nbp,
-                   const int32_t* idx, const int16_t* val, int64_t n_exc,
-                   const int16_t* prev_res,
-                   uint8_t* out_rec, int16_t* out_res_last,
-                   int16_t* rd_scratch /* [nframes*hw], caller-allocated */) {
+// Duplex receive decode: scatter the gathered int8 residual-delta
+// blocks, integrate over the batch axis (res[b] = res[b-1] + rd[b]), and
+// emit rec = x + res. One pass instead of NumPy's scatter/cumsum chain.
+// prev_res is the carried last residual [hw]; out_res_last the new carry.
+void duplex_decode8(const uint8_t* x, int64_t nframes, int64_t hw,
+                    const int8_t* rows, const int32_t* bidx, int64_t kb,
+                    int64_t nbp, const int16_t* prev_res,
+                    uint8_t* out_rec, int16_t* out_res_last,
+                    int16_t* rd_scratch /* [nframes*hw] */) {
   int64_t npx = nframes * hw;
   std::memset(rd_scratch, 0, npx * sizeof(int16_t));
   for (int64_t r = 0; r < kb; ++r) {
     int64_t bi = bidx[r];
     if (bi < 0 || bi >= nbp) continue;  // bucket padding
     int64_t s = bi * BLK;
-    const uint8_t* nr = rows + r * (BLK / 2);
+    const int8_t* nr = rows + r * BLK;
     int64_t m = s + BLK <= npx ? BLK : (npx > s ? npx - s : 0);
-    for (int64_t i = 0; i < m; i += 2) {
-      rd_scratch[s + i] = (int16_t)((nr[i / 2] & 15) - 8);
-      if (i + 1 < m) rd_scratch[s + i + 1] = (int16_t)((nr[i / 2] >> 4) - 8);
-    }
-  }
-  for (int64_t e = 0; e < n_exc; ++e) {
-    int64_t i = idx[e];
-    if (i >= 0 && i < npx) rd_scratch[i] = val[e];
+    for (int64_t i = 0; i < m; ++i) rd_scratch[s + i] = nr[i];
   }
   std::memcpy(out_res_last, prev_res, hw * sizeof(int16_t));
   for (int64_t f = 0; f < nframes; ++f) {

@@ -150,7 +150,7 @@ def test_native_duplex_decode_matches_numpy(monkeypatch):
 
     def drive(force_numpy):
         if force_numpy:
-            monkeypatch.setattr(native, "duplex_decode", lambda *a, **k: None)
+            monkeypatch.setattr(native, "duplex_decode8", lambda *a, **k: None)
         rng2 = np.random.default_rng(17)  # same content both drives
         tr = P.make_duplex_restore(run, capacity_frac=0.2)
         recs = []

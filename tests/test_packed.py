@@ -138,35 +138,42 @@ def test_duplex_capacity_overflow_goes_full():
     assert (k0, k1) == ("full", "full")
 
 
-def test_duplex_residual_exception_overflow_dense_fallback():
-    """Residual-delta exceptions past device capacity trigger the dense
-    recon fetch inside receive — bit-exact, never an error upward."""
+def test_duplex_residual_overflow_dense_fallback():
+    """A residual delta beyond int8 sets the device-side overflow flag
+    and receive falls back to the dense recon fetch — bit-exact, never
+    an error upward."""
     import jax.numpy as jnp
 
     from qcnn_gpu_tpu.engine.packed import make_duplex_restore
 
     rng = np.random.default_rng(4)
     h, w, b = 64, 64, 2
-    bg = rng.integers(0, 256, (h, w), np.uint8)
+    bg = rng.integers(0, 128, (h, w), np.uint8)
 
     flip = {"on": False}
 
-    def run(x):  # a restorer whose residual EXPLODES when armed
+    def run(x):  # a restorer whose residual JUMPS by >127 when armed
         if flip["on"]:
-            return jnp.clip(x.astype(jnp.int16) + 100, 0, 255).astype(jnp.uint8)
+            return jnp.clip(x.astype(jnp.int16) + 200, 0, 255).astype(jnp.uint8)
         return x
 
-    tr = make_duplex_restore(run, capacity_frac=1e-4)
+    tr = make_duplex_restore(run)
     x0 = np.broadcast_to(bg, (b, h, w)).copy()
     assert (tr.receive(x0, tr.send(x0)) == x0).all()
     x1 = x0.copy()
-    x1[:, 10:20, 10:20] = rng.integers(0, 256, (b, 10, 10), np.uint8)
-    flip["on"] = True  # residual delta now exceeds capacity everywhere
+    x1[:, 10:20, 10:20] = rng.integers(0, 128, (b, 10, 10), np.uint8)
+    flip["on"] = True  # rd = res - 0 = ~+200 > 127 in predicted blocks
     item = tr.send(x1)
     assert item[0] == "packed"
     rec = tr.receive(x1, item)
-    want = np.clip(x1.astype(np.int16) + 100, 0, 255).astype(np.uint8)
+    want = np.clip(x1.astype(np.int16) + 200, 0, 255).astype(np.uint8)
     assert (rec == want).all()
+    # chain continues exactly after the fallback
+    x2 = x1.copy()
+    x2[:, 30:40, 30:40] = rng.integers(0, 128, (b, 10, 10), np.uint8)
+    assert (tr.receive(x2, tr.send(x2)) == np.clip(
+        x2.astype(np.int16) + 200, 0, 255
+    ).astype(np.uint8)).all()
 
 
 def test_duplex_streaming_loop_bit_exact():

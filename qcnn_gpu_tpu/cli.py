@@ -68,7 +68,8 @@ def cmd_sweep(args) -> int:
     for qp in (int(q) for q in args.qps.split(",")):
         eng.load_model(qp, args.model_pattern % qp, fmt=args.model_format)
     records = eng.run_manifest(
-        specs, args.data_root, qps=[int(q) for q in args.qps.split(",")]
+        specs, args.data_root, qps=[int(q) for q in args.qps.split(",")],
+        transport=args.transport,
     )
     for r in records:
         print(f"{r.sequence} QP{r.qp}: {r.psnr_before:.3f} -> {r.psnr_after:.3f} dB, {r.fps:.1f} fps")
@@ -380,6 +381,7 @@ def build_parser() -> argparse.ArgumentParser:
         choices=["auto", "bf16", "int", "xla", "pallas", "pallas2", "pallas3"],
     )
     p.add_argument("--out-dir", default=".")
+    p.add_argument("--transport", default="raw", choices=["raw", "duplex"])
     p.set_defaults(fn=cmd_sweep)
 
     p = sub.add_parser("convert", help="model file format conversion")

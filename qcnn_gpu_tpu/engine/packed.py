@@ -420,7 +420,10 @@ class DuplexTransport:
         for `receive`. Must be called in stream order."""
         jax = self._jax
         prev = self._prev
-        self._prev = np.ascontiguousarray(x[-1:])
+        # snapshot (not view): callers that reuse their frame buffer
+        # between batches must not mutate the host reference frame out
+        # from under the device anchor carry
+        self._prev = np.array(x[-1:], copy=True)
         self._shape = x.shape
         payload = None
         if prev is not None:

@@ -265,7 +265,12 @@ class Engine:
             try:
                 return self._restore_stream_duplex(frames, qp, depth)
             except Exception:
-                pass  # raw transport is always correct
+                # raw transport is always correct — but the cached transport
+                # may now be DESYNCED (the producer can run several send()
+                # calls past the receive() that raised, advancing _prev/_carry
+                # without _res); reusing it would decode silently wrong
+                # frames, so evict it and let the next call start clean
+                self._evict_duplex(qp, frames.shape[-2:])
         from qcnn_gpu_tpu.engine.stream import pipeline_restore
 
         n = frames.shape[0]
@@ -280,6 +285,12 @@ class Engine:
             device=None,
         )
         return np.concatenate(outs, axis=0)
+
+    def _evict_duplex(self, qp: int, geo) -> None:
+        """Drop the cached duplex transport for (qp, geometry): called on
+        any mid-stream failure, where producer/consumer state can be out
+        of step (never reuse a possibly-desynced transport)."""
+        self._duplex.pop((qp, tuple(geo), self.batch_frames), None)
 
     def _duplex_transport(self, qp: int, geo, bs: int):
         """Cached duplex-transport object for (qp, geometry, batch): the
@@ -335,7 +346,9 @@ class Engine:
                 for x in (z, z):  # full step, then the all-zero packed step
                     tr.receive(x, tr.send(x))
             except Exception:
-                pass  # restore_stream falls back to the raw transport
+                # restore_stream falls back to the raw transport; the
+                # half-warmed transport may hold advanced carries — evict
+                self._evict_duplex(qp, (height, width))
 
     # ---- the testqvrcnn analog (kernel.cu:74-116) ----
     def run_sequence(

@@ -46,10 +46,10 @@ BLU_INIT_FINETUNE[22] = [0.265, 0.140, 0.140, 0.0742, 0.0742, 0.0]
 
 
 def solve_mul_shift(max_u: float) -> Tuple[int, int]:
-    """Smallest shift whose (mul, shift) pair maps max_u into (127, 127.5].
+    """Smallest shift whose (mul, shift) pair maps max_u into (127, 127.5).
 
     Search i in [1, 27] for mul = round(127.5*2^i / max_u) such that
-    max_u*mul/2^i lands in the open-closed window — guaranteeing that any
+    max_u*mul/2^i lands in the open-open window — guaranteeing that any
     accumulator <= max_u requantizes to <= 127 under floor((u*mul)>>shift).
     (quantization.py:5-14; falls back to the last candidate if no i hits
     the window, as the reference does.)

@@ -48,7 +48,7 @@ def main(out_path="bench_matrix.json"):
     # the program the production engine would serve it with
     builders = {
         "pallas3": lambda h, w: build_tuned(p, kernel=3, h=h, w=w),
-        "pallas2": lambda h, w: build_tuned(p, kernel=2),
+        "pallas2": lambda h, w: build_tuned(p, kernel=2, h=h, w=w),
         "xla": lambda h, w: make_forward(p, impl="auto"),
     }
     only = os.environ.get("BENCH_IMPLS")  # e.g. "pallas2" or "xla,pallas2"

@@ -3,6 +3,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.quick  # fast host tier: `pytest -m quick`
+
 from qcnn_gpu_tpu.config import Config, EngineConfig
 from qcnn_gpu_tpu.models import oracle as O
 from qcnn_gpu_tpu.models.oracle import EngineParams

@@ -346,3 +346,58 @@ def test_run_sequence_duplex_transport(tmp_path, clip):
     got = yuv.read_y(str(tmp_path / "rec.yuv"), 48, 64, 3)
     assert (got == O.forward_blu(anchor, p)).all()
     assert rec.time_us > 0
+
+
+def test_duplex_failure_evicts_transport(tmp_path, monkeypatch):
+    """A mid-stream duplex failure must NOT leave the desynced transport
+    cached: the producer can run send() calls past a receive() that
+    raised, so reusing the transport would decode silently wrong frames
+    (res = stale _res + cumsum). The engine evicts on failure; the next
+    duplex stream starts from a fresh transport and stays bit-exact."""
+    p = synth_engine_params(37)
+    eng = Engine(impl="int", out_dir=str(tmp_path), batch_frames=2)
+    eng.set_model(37, p)
+    frames = synth_frames(6, 32, 48, seed=33)
+    want = O.forward_blu(frames, p)
+
+    from qcnn_gpu_tpu.engine.packed import DuplexTransport
+
+    calls = {"n": 0}
+    orig = DuplexTransport.receive
+
+    def flaky(self, x, item):
+        calls["n"] += 1
+        if calls["n"] == 2:  # fail mid-stream, after state advanced
+            raise RuntimeError("injected link failure")
+        return orig(self, x, item)
+
+    monkeypatch.setattr(DuplexTransport, "receive", flaky)
+    key = (37, (32, 48), 2)
+    got = eng.restore_stream(frames, 37, transport="duplex")
+    assert (got == want).all()  # raw fallback served the stream
+    assert key not in eng._duplex  # desynced transport evicted
+    monkeypatch.setattr(DuplexTransport, "receive", orig)
+    got2 = eng.restore_stream(frames, 37, transport="duplex")
+    assert (got2 == want).all()  # fresh transport, bit-exact again
+
+
+def test_duplex_send_snapshots_prev_frame(tmp_path):
+    """DuplexTransport.send must copy the last frame: a caller reusing its
+    frame buffer between batches must not corrupt the host reference."""
+    from qcnn_gpu_tpu.engine.packed import make_duplex_restore
+    from qcnn_gpu_tpu.models.qvrcnn import make_forward
+
+    p = synth_engine_params(37)
+    run = make_forward(p, impl="int")
+    tr = make_duplex_restore(run)
+    buf = synth_frames(2, 32, 48, seed=40)  # reused buffer
+    want0 = O.forward_blu(buf, p)
+    rec0 = tr.receive(buf, tr.send(buf))
+    assert (rec0 == want0).all()
+    buf[:] = 0  # caller stomps its buffer before the next batch: with a
+    # view-held _prev this would desync the host reference frame from the
+    # device anchor carry and corrupt the next decode
+    nxt = synth_frames(2, 32, 48, seed=41)
+    item = tr.send(nxt.copy())
+    nxt_rec = tr.receive(nxt, item)
+    assert (nxt_rec == O.forward_blu(nxt, p)).all()

@@ -3,6 +3,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.quick  # fast host tier: `pytest -m quick`
+
 from qcnn_gpu_tpu import native
 from qcnn_gpu_tpu.data import yuv
 from qcnn_gpu_tpu.testing import synth_frames

@@ -3,6 +3,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.quick  # fast host tier: `pytest -m quick`
+
 from qcnn_gpu_tpu.models import oracle as O
 from qcnn_gpu_tpu.testing import synth_dynamic_params, synth_engine_params, synth_frames
 

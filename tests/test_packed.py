@@ -4,6 +4,8 @@ exception handling, overflow detection, and the pipelined streaming path."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.quick  # fast host tier: `pytest -m quick`
+
 from qcnn_gpu_tpu.engine.packed import (
     make_packed_restore,
     measure_stream_fps_packed,

@@ -3,6 +3,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.quick  # fast host tier: `pytest -m quick`
+
 from qcnn_gpu_tpu.quant import (
     BLU_INIT,
     QuantTable,

@@ -11,6 +11,8 @@ import warnings
 
 import pytest
 
+pytestmark = pytest.mark.quick  # fast host tier: `pytest -m quick`
+
 from qcnn_gpu_tpu.data import model_files
 from qcnn_gpu_tpu.quant.params import QuantTable
 from qcnn_gpu_tpu.testing import asset, synth_engine_params

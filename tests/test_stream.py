@@ -9,6 +9,8 @@ train_data.py:132-177, combined into one overlapped pipeline.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.quick  # fast host tier: `pytest -m quick`
+
 import jax
 
 from qcnn_gpu_tpu.engine.runner import Engine

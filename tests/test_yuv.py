@@ -1,5 +1,9 @@
 """YUV420 IO + PSNR semantics."""
 
+import pytest
+
+pytestmark = pytest.mark.quick  # fast host tier: `pytest -m quick`
+
 import math
 
 import numpy as np

@@ -177,9 +177,15 @@ def residual_blu_merged(
     mp: "MergedParams",
     impl: str = "bf16",
     row_valid: Optional[jnp.ndarray] = None,
+    col_valid: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Merged-stage core: 4 convs, per-channel vector requant. Bit-equal to
     residual_blu (tested); this is the production path.
+
+    row_valid [H] / col_valid [W] mark rows/cols INSIDE the frame — the
+    2-D generalization used by (sp, sw) halo sharding: halo rows AND halo
+    cols beyond the true frame edge must read as per-layer zero padding
+    (see residual_blu docstring for why every stage masks).
 
     On the bf16 path, inter-stage activations are CARRIED as bf16 (exact:
     requant outputs are ints in [0,127]) — materialized int32 intermediates
@@ -191,11 +197,7 @@ def residual_blu_merged(
         conv = lambda v, i: _conv_int(v, mp.w_i8[i], mp.b_i32[i])
         act_dtype = jnp.int32
 
-    if row_valid is None:
-        mask = lambda v: v
-    else:
-        rv = row_valid[None, :, None, None]
-        mask = lambda v: jnp.where(rv, v, jnp.zeros((), v.dtype))
+    mask = _valid_mask(row_valid, col_valid)
 
     def requant(u, i):
         mid = jnp.right_shift((u + mp.bias_pre[i]) * mp.mul[i], mp.shift[i])
@@ -208,6 +210,20 @@ def residual_blu_merged(
     v3 = requant(conv(v2, 2), 2)
     u4 = conv(v3, 3)
     return final_residual_i32(u4, mp.mul4, mp.shift4)[..., 0]
+
+
+def _valid_mask(row_valid: Optional[jnp.ndarray], col_valid: Optional[jnp.ndarray]):
+    """Stage-output mask from optional [H] row / [W] col validity vectors
+    (broadcast product on [N, H, W, C] activations)."""
+    if row_valid is None and col_valid is None:
+        return lambda v: v
+    m = None
+    if row_valid is not None:
+        m = row_valid[None, :, None, None]
+    if col_valid is not None:
+        cv = col_valid[None, None, :, None]
+        m = cv if m is None else (m & cv)
+    return lambda v: jnp.where(m, v, jnp.zeros((), v.dtype))
 
 
 def _conv_bf16(x_bf16, w_bf16, b_i32):
@@ -247,6 +263,7 @@ def residual_blu(
     mp: ModelParams,
     impl: str = "int",
     row_valid: Optional[jnp.ndarray] = None,
+    col_valid: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """The 6-conv/2-concat core on preprocessed input.
 
@@ -270,11 +287,7 @@ def residual_blu(
     else:
         conv = lambda v, i: _conv_int(v, mp.weights_i8[i], mp.biases_i32[i])
 
-    if row_valid is None:
-        mask = lambda v: v
-    else:
-        rv = row_valid[None, :, None, None]
-        mask = lambda v: jnp.where(rv, v, 0)
+    mask = _valid_mask(row_valid, col_valid)
 
     def requant(u, i):
         return mask(blu_requant_i32(u, mp.blu_q[i], mp.mul[i], mp.shift[i]))

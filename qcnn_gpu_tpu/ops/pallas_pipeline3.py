@@ -88,7 +88,12 @@ class PackedWeights3:
     shift4: int
 
     @classmethod
-    def from_engine(cls, p: EngineParams, dtype=None) -> "PackedWeights3":
+    def from_engine(cls, p: EngineParams, dtype=None, kpad: bool = False) -> "PackedWeights3":
+        """kpad=True zero-pads S3/S4's contraction dim 96 -> 128: int8
+        K=96 MXU passes measured at ~half the K=128 rate on v5e (r4 stage
+        marginals: S3 8.6 rows/cycle vs S2 13.8), so spending 32 zero
+        lanes buys the full-rate path; bit-exact (zero rows contribute
+        exact zeros)."""
         dtype = dtype if dtype is not None else jnp.int8
         mp = MergedParams.from_engine(p)
         w = [np.asarray(x, dtype=np.float32) for x in mp.w_i8]
@@ -124,10 +129,14 @@ class PackedWeights3:
         b4_2[0] = b4_2[1] = b[3][0]
         w4 = np.zeros((6, 96, 8), np.float32)
         w4[:, :, :2] = _packed_taps(w[3], 3)
+        w3 = _packed_taps(w[2], 3)
+        if kpad:
+            w3 = np.pad(w3, ((0, 0), (0, 32), (0, 0)))
+            w4 = np.pad(w4, ((0, 0), (0, 32), (0, 0)))
         return cls(
             w1=jnp.asarray(w1, dtype=dtype),
             w2p=jnp.asarray(_packed_taps(w[1], 5), dtype=dtype),
-            w3p=jnp.asarray(_packed_taps(w[2], 3), dtype=dtype),
+            w3p=jnp.asarray(w3, dtype=dtype),
             w4p=jnp.asarray(w4, dtype=dtype),
             b1=tile2(b[0] + np.asarray(mp.bias_pre[0])),
             q1=qx(0),
@@ -161,9 +170,11 @@ def _expand_mask(mk2, c: int):
 
 
 def _stage_packed(v_ref, w_ref, kdy, nd, we2, m_out, b_i32, qvec, mask=None,
-                  unroll=False):
+                  unroll=False, out_lanes=None):
     """One width-packed conv stage: taps (dy, d) at sublane offset
-    dy*we2 + d, weights w_ref[dy*nd + d] of shape [2*Cin, 2*Cout]."""
+    dy*we2 + d, weights w_ref[dy*nd + d] of shape [K, 2*Cout] (K = 2*Cin,
+    possibly zero-padded to 128 — see PackedWeights3 kpad). out_lanes
+    zero-pads the requantized output's lane dim to the next stage's K."""
     cout = w_ref.shape[2]
     acc_dtype = jnp.int32 if v_ref.dtype == jnp.int8 else jnp.float32
 
@@ -199,7 +210,11 @@ def _stage_packed(v_ref, w_ref, kdy, nd, we2, m_out, b_i32, qvec, mask=None,
         return u
     v = _requant_fast(u, *qvec).astype(v_ref.dtype)
     v = jnp.pad(v, ((0, 8), (0, 0)))  # tap over-run tail (see v1)
-    return mask(v) if mask is not None else v
+    if mask is not None:
+        v = mask(v)
+    if out_lanes is not None and out_lanes > v.shape[1]:
+        v = jnp.pad(v, ((0, 0), (0, out_lanes - v.shape[1])))
+    return v
 
 
 def _make_kernel3(th: int, we: int, mul4: int, shift4: int, unroll: bool = False,
@@ -310,6 +325,7 @@ def _kernel3_body(
                 )
             ) if masked else None,
             unroll=unroll,
+            out_lanes=w3p_ref.shape[1],  # 128 under kpad (S3's K)
         )
         if stages <= 2:
             t = jnp.transpose(v2s[:m4, 0:8].astype(jnp.int32))
@@ -323,6 +339,7 @@ def _kernel3_body(
             mask=(lambda v: _apply_mask(v, _expand_mask(mkO2, 48)))
             if masked else None,
             unroll=unroll,
+            out_lanes=w4p_ref.shape[1],  # 128 under kpad (S4's K)
         )
         if stages <= 3:
             t = jnp.transpose(v3s[:m4, 0:8].astype(jnp.int32))
@@ -337,32 +354,37 @@ def _kernel3_body(
         out_ref[0, 0, wi] = jnp.clip(t[0:2, :], -255, 255).astype(jnp.int16)
 
 
-def _edge_masks2(nh, nw, th, tw, we2, hb, w, m_rows, row_off, col_off):
+def _edge_masks2(nh, nw, th, tw, we2, hb, w, m_rows, row_off, col_off, wb=None):
     """Per-tile per-PHASE 0/1 masks [nh, nw, m_rows, 2]: packed pixel p,
     phase q of tile (hi, wi) is frame pixel (hi*th - row_off + p//we2,
     wi*tw - col_off + 2*(p%we2) + q). `hb` is either the frame height or a
     (row_lo, row_hi) pair — possibly traced scalars — marking the valid
-    row range (sharded blocks: the true frame edge is shard-dependent).
+    row range (sharded blocks: the true frame edge is shard-dependent);
+    `wb` is the analogous optional (col_lo, col_hi) pair for 2-D spatial
+    sharding (None -> the full [0, w) width is inside the frame).
 
     With static bounds the whole mask is computed in NUMPY so it embeds as
     a jit constant — zero per-call device work. Traced bounds (the sharded
-    path) split into a static column mask times a dynamic row mask."""
+    path) compute the mask on device from the same index grids."""
     row_lo, row_hi = hb if isinstance(hb, tuple) else (0, hb)
-    xp = jnp if isinstance(row_lo, jax.core.Tracer) or isinstance(
-        row_hi, jax.core.Tracer
+    col_lo, col_hi = wb if wb is not None else (0, w)
+    xp = jnp if any(
+        isinstance(v, jax.core.Tracer) for v in (row_lo, row_hi, col_lo, col_hi)
     ) else np
     px = np.arange(m_rows)
     q = np.arange(2)
     gr = xp.asarray(
         np.arange(nh)[:, None, None] * th - row_off + (px // we2)[None, None, :]
     )
-    gc = (
+    gc = xp.asarray(
         np.arange(nw)[None, :, None, None] * tw
         - col_off
         + (2 * (px % we2))[None, None, :, None]
         + q[None, None, None, :]
     )
-    ok = ((gr >= row_lo) & (gr < row_hi))[..., None] & (gc >= 0) & (gc < w)
+    ok = ((gr >= row_lo) & (gr < row_hi))[..., None] & (
+        (gc >= col_lo) & (gc < col_hi)
+    )
     return ok
 
 
@@ -406,7 +428,8 @@ def _edge_mask_atlas(nh, nw, th, tw, we2, h, w, m_rows, row_off, col_off):
 def build_pallas_forward3(
     p: EngineParams, th: int = 64, we: int = 256, interpret: bool = False,
     unroll: bool = True, dtype=None, stages: int = 4, wc: int = 1,
-    row_bounds: bool = False, _debug: str = "",
+    row_bounds: bool = False, col_bounds: bool = False, kpad: bool = False,
+    _debug: str = "",
 ):
     """Width-packed fused restorer: fn(uint8 [B,H,W]) -> uint8 [B,H,W],
     bit-exact vs the oracle. One frame per program; `we` must be even
@@ -415,10 +438,13 @@ def build_pallas_forward3(
     row_bounds=True returns fn(x_uint8, row_lo, row_hi) instead (unjitted,
     for use inside shard_map): rows outside [row_lo, row_hi) are treated
     as beyond the frame edge (per-layer zero padding), so a halo-extended
-    spatial shard can mark where the TRUE frame boundary sits."""
+    spatial shard can mark where the TRUE frame boundary sits.
+    col_bounds=True (implies the same for columns) returns
+    fn(x_uint8, row_lo, row_hi, col_lo, col_hi) — the 2-D (sp, sw)
+    sharding contract."""
     assert we % 2 == 0, "v3 packs two columns per lane group: we must be even"
     dtype = dtype if dtype is not None else jnp.int8
-    pw = PackedWeights3.from_engine(p, dtype=dtype)
+    pw = PackedWeights3.from_engine(p, dtype=dtype, kpad=kpad)
     tw = we - PAD
     he = th + PAD
     we2 = we // 2
@@ -427,7 +453,7 @@ def build_pallas_forward3(
     m4 = th * we2
     consts = pw.consts()
 
-    def _fwd(x_uint8, hb):
+    def _fwd(x_uint8, hb, wb=None):
         b, h, w = x_uint8.shape
         nh = -(-h // th)
         nw = -(-w // tw)
@@ -470,7 +496,10 @@ def build_pallas_forward3(
         # bounds, tiles big enough that only first/last/second-to-last
         # tiles can cross a frame edge) — interior programs then reuse a
         # resident block with no per-program DMA; otherwise per-tile masks
-        atlas = wc == 1 and not isinstance(hb, tuple) and th > 4 and tw > 10
+        atlas = (
+            wc == 1 and not isinstance(hb, tuple) and wb is None
+            and th > 4 and tw > 10
+        )
         if atlas:
             mkE = _edge_mask_atlas(nh, nw, th, tw, we2, hb, w, m1 + 8, 4, 4)
             mkO = _edge_mask_atlas(nh, nw, th, tw, we2, hb, w, m3 + 8, 1, 1)
@@ -488,8 +517,12 @@ def build_pallas_forward3(
                 return (rc + 8 * cc, 0, 0)
 
         else:
-            mkE = _edge_masks2(nh, nw, th, tw, we2, hb, w, m1 + 8, 4, 4).astype(dtype)
-            mkO = _edge_masks2(nh, nw, th, tw, we2, hb, w, m3 + 8, 1, 1).astype(dtype)
+            mkE = _edge_masks2(
+                nh, nw, th, tw, we2, hb, w, m1 + 8, 4, 4, wb=wb
+            ).astype(dtype)
+            mkO = _edge_masks2(
+                nh, nw, th, tw, we2, hb, w, m3 + 8, 1, 1, wb=wb
+            ).astype(dtype)
             masks = [mkE, mkO]
 
         nwp = -(-nw // wc) * wc
@@ -501,10 +534,11 @@ def build_pallas_forward3(
         if "zero_a1" in _debug:  # perf bisection: cut the prep chain
             a1t = jnp.zeros(a1t.shape, a1t.dtype)
 
+        mid_lanes = 128 if kpad else 96
         scratch_shapes = [
             pltpu.VMEM((m1 + 8, 128), dtype),
-            pltpu.VMEM(((th + 4) * we2 + 8, 96), dtype),
-            pltpu.VMEM(((th + 2) * we2 + 8, 96), dtype),
+            pltpu.VMEM(((th + 4) * we2 + 8, mid_lanes), dtype),
+            pltpu.VMEM(((th + 2) * we2 + 8, mid_lanes), dtype),
         ]
         cparams = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
@@ -611,7 +645,11 @@ def build_pallas_forward3(
         rec = x_uint8.astype(jnp.int32) + res.astype(jnp.int32)
         return jnp.clip(rec, 0, 255).astype(jnp.uint8)
 
-    if row_bounds:
+    if col_bounds:
+        run = lambda x, row_lo, row_hi, col_lo, col_hi: _fwd(  # noqa: E731
+            x, (row_lo, row_hi), (col_lo, col_hi)
+        )
+    elif row_bounds:
         run = lambda x, row_lo, row_hi: _fwd(x, (row_lo, row_hi))  # noqa: E731
     else:
         run = jax.jit(lambda x: _fwd(x, x.shape[1]))

@@ -40,20 +40,40 @@ from qcnn_gpu_tpu.models.topology import RECEPTIVE_RADIUS
 from qcnn_gpu_tpu.ops.requant import apply_residual_u8
 
 
-def halo_exchange_rows(x: jnp.ndarray, axis_name: str, halo: int) -> jnp.ndarray:
-    """Extend a [N, H_local, W, C] block with `halo` rows from each
-    neighbor along `axis_name`. Missing neighbors (frame boundary) yield
+def _halo_exchange(x: jnp.ndarray, axis_name: str, halo: int, dim: int) -> jnp.ndarray:
+    """Extend array dimension `dim` with `halo` slices from each neighbor
+    along mesh axis `axis_name`. Missing neighbors (frame boundary) yield
     zeros — matching SAME zero padding in the ppro domain."""
     n = lax.axis_size(axis_name)
     if n == 1:
         pad = [(0, 0)] * x.ndim
-        pad[1] = (halo, halo)
+        pad[dim] = (halo, halo)
         return jnp.pad(x, pad)
+    lo = [slice(None)] * x.ndim
+    hi = [slice(None)] * x.ndim
+    lo[dim] = slice(None, halo)
+    hi[dim] = slice(-halo, None)
     down = [(i, i + 1) for i in range(n - 1)]  # shard i sends to i+1
     up = [(i + 1, i) for i in range(n - 1)]  # shard i+1 sends to i
-    from_above = lax.ppermute(x[:, -halo:], axis_name, down)
-    from_below = lax.ppermute(x[:, :halo], axis_name, up)
-    return jnp.concatenate([from_above, x, from_below], axis=1)
+    from_before = lax.ppermute(x[tuple(hi)], axis_name, down)
+    from_after = lax.ppermute(x[tuple(lo)], axis_name, up)
+    return jnp.concatenate([from_before, x, from_after], axis=dim)
+
+
+def halo_exchange_rows(x: jnp.ndarray, axis_name: str, halo: int) -> jnp.ndarray:
+    """Extend a [N, H_local, ...] block with `halo` rows from each
+    row-neighbor (see _halo_exchange)."""
+    return _halo_exchange(x, axis_name, halo, dim=1)
+
+
+def halo_exchange_cols(x: jnp.ndarray, axis_name: str, halo: int) -> jnp.ndarray:
+    """Extend a [N, H, W_local, ...] block with `halo` columns from each
+    column-neighbor. Corner fill: exchanging columns AFTER rows is
+    sufficient — the column neighbor has already row-extended its block,
+    so its edge columns carry the DIAGONAL neighbor's corner pixels
+    (every device runs the same SPMD program, so the ordering holds
+    globally)."""
+    return _halo_exchange(x, axis_name, halo, dim=2)
 
 
 def make_sharded_forward(
@@ -74,7 +94,14 @@ def make_sharded_forward(
     handed to the kernel with (row_lo, row_hi) bounds marking where the
     true frame edge sits so per-layer zero padding lands exactly there.
     Other impls run the XLA graph (the CPU-mesh test path).
+
+    A mesh with an 'sw' axis (make_mesh(dp, sp, sw=...)) shards frame
+    COLUMNS too — the full 2-D generalization of the reference's 2x2
+    divided_run (model.py:235-255): halos ppermute along both axes (rows
+    first, then columns, which fills the diagonal corners), and both the
+    kernel bounds and the XLA valid masks carry the 2-D frame edge.
     """
+    two_d = "sw" in mesh.axis_names
     kern = None
     if impl.startswith("pallas") or (
         impl == "auto" and jax.default_backend() != "cpu"
@@ -86,28 +113,42 @@ def make_sharded_forward(
         kw = {"th": 8, **tuned_kwargs(use_file=False)} if interp else tuned_kwargs()
         kw.pop("kernel", None)
         try:
-            kern = build_pallas_forward3(p, interpret=interp, row_bounds=True, **kw)
+            kern = build_pallas_forward3(
+                p, interpret=interp, row_bounds=not two_d, col_bounds=two_d, **kw
+            )
         except Exception:
             # 'auto' degrades to the sharded XLA graph on a kernel build
             # failure (bad tuned config / Mosaic reject); explicit
             # impl='pallas*' propagates
             if impl != "auto":
                 raise
+
+    def _bounds(axis_name, extent):
+        """(lo, hi) valid range inside a halo-extended block along a mesh
+        axis: frame-boundary shards see the halo as outside-frame."""
+        idx = lax.axis_index(axis_name)
+        n = lax.axis_size(axis_name)
+        lo = jnp.where(idx == 0, halo, 0)
+        hi = jnp.where(idx == n - 1, extent - halo, extent)
+        return lo, hi
+
     if kern is not None:
         chosen = "pallas3"
 
-        def block_fn(xb):  # xb: [N/dp, H/sp, W] uint8
+        def block_fn(xb):  # xb: [N/dp, H/sp, W/sw] uint8
             # exchange in the ppro domain (int8): ppermute's zero fill for
             # missing neighbors IS the engine's zero pad there; +128 maps
             # back to the kernel's uint8 contract exactly
             x8 = (xb.astype(jnp.int32) - 128).astype(jnp.int8)
             xe = halo_exchange_rows(x8, "sp", halo)
-            idx = lax.axis_index("sp")
-            n_sp = lax.axis_size("sp")
-            h_ext = xe.shape[1]
-            row_lo = jnp.where(idx == 0, halo, 0)
-            row_hi = jnp.where(idx == n_sp - 1, h_ext - halo, h_ext)
+            if two_d:
+                xe = halo_exchange_cols(xe, "sw", halo)
+            row_lo, row_hi = _bounds("sp", xe.shape[1])
             xe_u8 = (xe.astype(jnp.int32) + 128).astype(jnp.uint8)
+            if two_d:
+                col_lo, col_hi = _bounds("sw", xe.shape[2])
+                rec = kern(xe_u8, row_lo, row_hi, col_lo, col_hi)
+                return rec[:, halo:-halo, halo:-halo]
             rec = kern(xe_u8, row_lo, row_hi)
             return rec[:, halo:-halo]
 
@@ -116,31 +157,41 @@ def make_sharded_forward(
         chosen = resolve_impl(impl, mp)
         mpar = MergedParams.from_engine(p)
 
-        def block_fn(xb):  # xb: [N/dp, H/sp, W] uint8
+        def block_fn(xb):  # xb: [N/dp, H/sp, W/sw] uint8
             xe = xb[..., None].astype(jnp.int32) - 128
             xe = halo_exchange_rows(xe, "sp", halo)
-            # Frame-boundary shards: halo rows lie OUTSIDE the frame and must
-            # act as per-layer zero padding (residual_blu row_valid docstring).
-            idx = lax.axis_index("sp")
-            n_sp = lax.axis_size("sp")
-            h_ext = xe.shape[1]
-            row = jnp.arange(h_ext)
-            row_valid = (row >= jnp.where(idx == 0, halo, 0)) & (
-                row < jnp.where(idx == n_sp - 1, h_ext - halo, h_ext)
+            if two_d:
+                xe = halo_exchange_cols(xe, "sw", halo)
+            # Frame-boundary shards: halo rows/cols lie OUTSIDE the frame
+            # and must act as per-layer zero padding (residual_blu
+            # row_valid docstring).
+            row_lo, row_hi = _bounds("sp", xe.shape[1])
+            row = jnp.arange(xe.shape[1])
+            row_valid = (row >= row_lo) & (row < row_hi)
+            col_valid = None
+            if two_d:
+                col_lo, col_hi = _bounds("sw", xe.shape[2])
+                col = jnp.arange(xe.shape[2])
+                col_valid = (col >= col_lo) & (col < col_hi)
+            res = residual_blu_merged(
+                xe, mpar, chosen, row_valid=row_valid, col_valid=col_valid
             )
-            res = residual_blu_merged(xe, mpar, chosen, row_valid=row_valid)
-            res = res[:, halo:-halo]
+            if two_d:
+                res = res[:, halo:-halo, halo:-halo]
+            else:
+                res = res[:, halo:-halo]
             return apply_residual_u8(xb, res)
 
+    spec = P("dp", "sp", "sw") if two_d else P("dp", "sp", None)
     sharded = shard_map(
         block_fn,
         mesh=mesh,
-        in_specs=P("dp", "sp", None),
-        out_specs=P("dp", "sp", None),
+        in_specs=spec,
+        out_specs=spec,
         check_rep=False,
     )
 
-    in_sharding = NamedSharding(mesh, P("dp", "sp", None))
+    in_sharding = NamedSharding(mesh, spec)
 
     @jax.jit
     def run(x_uint8):
@@ -163,17 +214,22 @@ def psnr_sharded(a_uint8, ref_uint8, mesh: Mesh):
     environment keeps jax in f32-by-default."""
     with jax.enable_x64(True):
 
+        axes = tuple(mesh.axis_names)
+
         def block(a, r):
             d = a.astype(jnp.float64) - r.astype(jnp.float64)
             sse = jnp.sum(d * d)
-            sse = lax.psum(sse, "dp")
-            sse = lax.psum(sse, "sp")
+            for ax in axes:
+                sse = lax.psum(sse, ax)
             return sse[None]
 
+        spec = (
+            P("dp", "sp", "sw") if "sw" in mesh.axis_names else P("dp", "sp", None)
+        )
         f = shard_map(
             block,
             mesh=mesh,
-            in_specs=(P("dp", "sp", None), P("dp", "sp", None)),
+            in_specs=(spec, spec),
             out_specs=P(None),
             check_rep=False,
         )

@@ -108,15 +108,21 @@ class PackedWeights3:
                     if 0 <= dx < 5:
                         w1[dy * 6 + u, po * 64 : (po + 1) * 64] = w[0][dy, dx, 0]
 
-        def tile2(v):
-            return jnp.asarray(np.tile(np.asarray(v), 2)[None, :], dtype=jnp.int32)
+        def tile2(v, pad: int = 0):
+            t = np.tile(np.asarray(v), 2)
+            if pad:
+                t = np.pad(t, (0, pad))
+            return jnp.asarray(t[None, :], dtype=jnp.int32)
 
         # Folded epilogue constants (ops/pallas_pipeline2._requant_fast):
         # biases absorb the pre-multiply rounding bias, thresholds shift.
-        def qx(i):
+        # Padded lanes (kpad) carry B=0, mul=0: min(0, 0)*0 >> 0 == 0, so
+        # the requant emits exact zeros there — the next stage's zero K
+        # rows then contribute nothing.
+        def qx(i, pad: int = 0):
             bp = np.asarray(mp.bias_pre[i])
             return tuple(
-                tile2(v)
+                tile2(v, pad)
                 for v in (
                     np.asarray(mp.blu_q[i]) + bp,
                     np.broadcast_to(np.asarray(mp.mul[i]), bp.shape),
@@ -129,22 +135,28 @@ class PackedWeights3:
         b4_2[0] = b4_2[1] = b[3][0]
         w4 = np.zeros((6, 96, 8), np.float32)
         w4[:, :, :2] = _packed_taps(w[3], 3)
+        w2 = _packed_taps(w[1], 5)
         w3 = _packed_taps(w[2], 3)
+        npad = 32 if kpad else 0
         if kpad:
-            w3 = np.pad(w3, ((0, 0), (0, 32), (0, 0)))
-            w4 = np.pad(w4, ((0, 0), (0, 32), (0, 0)))
+            # N-side zero cols on S2/S3 (their outputs land in 128-lane
+            # scratch, padded lanes requantizing to exact zeros) and
+            # K-side zero rows on S3/S4 (consuming those zero lanes)
+            w2 = np.pad(w2, ((0, 0), (0, 0), (0, npad)))
+            w3 = np.pad(w3, ((0, 0), (0, npad), (0, npad)))
+            w4 = np.pad(w4, ((0, 0), (0, npad), (0, 0)))
         return cls(
             w1=jnp.asarray(w1, dtype=dtype),
-            w2p=jnp.asarray(_packed_taps(w[1], 5), dtype=dtype),
+            w2p=jnp.asarray(w2, dtype=dtype),
             w3p=jnp.asarray(w3, dtype=dtype),
             w4p=jnp.asarray(w4, dtype=dtype),
             b1=tile2(b[0] + np.asarray(mp.bias_pre[0])),
             q1=qx(0),
-            b2=tile2(b[1] + np.asarray(mp.bias_pre[1])),
-            b3=tile2(b[2] + np.asarray(mp.bias_pre[2])),
+            b2=tile2(b[1] + np.asarray(mp.bias_pre[1]), npad),
+            b3=tile2(b[2] + np.asarray(mp.bias_pre[2]), npad),
             b4=jnp.asarray(b4_2[None, :], dtype=jnp.int32),
-            q2=qx(1),
-            q3=qx(2),
+            q2=qx(1, npad),
+            q3=qx(2, npad),
             mul4=mp.mul4,
             shift4=mp.shift4,
         )
@@ -157,24 +169,26 @@ class PackedWeights3:
         ]
 
 
-def _expand_mask(mk2, c: int):
-    """[m, 2] per-phase mask -> [m, 2*c] in (phase, channel) lane order."""
+def _expand_mask(mk2, c: int, pad: int = 0):
+    """[m, 2] per-phase mask -> [m, 2*c (+pad)] in (phase, channel) lane
+    order; `pad` appends zero lanes matching kpad's N-padded outputs
+    (their values are already exact zeros, any mask value works)."""
     m = mk2.shape[0]
-    return jnp.concatenate(
-        [
-            jnp.broadcast_to(mk2[:, 0:1], (m, c)),
-            jnp.broadcast_to(mk2[:, 1:2], (m, c)),
-        ],
-        axis=1,
-    )
+    parts = [
+        jnp.broadcast_to(mk2[:, 0:1], (m, c)),
+        jnp.broadcast_to(mk2[:, 1:2], (m, c)),
+    ]
+    if pad:
+        parts.append(jnp.zeros((m, pad), mk2.dtype))
+    return jnp.concatenate(parts, axis=1)
 
 
 def _stage_packed(v_ref, w_ref, kdy, nd, we2, m_out, b_i32, qvec, mask=None,
-                  unroll=False, out_lanes=None):
+                  unroll=False):
     """One width-packed conv stage: taps (dy, d) at sublane offset
-    dy*we2 + d, weights w_ref[dy*nd + d] of shape [K, 2*Cout] (K = 2*Cin,
-    possibly zero-padded to 128 — see PackedWeights3 kpad). out_lanes
-    zero-pads the requantized output's lane dim to the next stage's K."""
+    dy*we2 + d, weights w_ref[dy*nd + d] of shape [K, N] (K = 2*Cin,
+    N = 2*Cout; both possibly zero-padded to 128 — PackedWeights3 kpad,
+    whose padded output lanes requantize to exact zeros)."""
     cout = w_ref.shape[2]
     acc_dtype = jnp.int32 if v_ref.dtype == jnp.int8 else jnp.float32
 
@@ -210,11 +224,7 @@ def _stage_packed(v_ref, w_ref, kdy, nd, we2, m_out, b_i32, qvec, mask=None,
         return u
     v = _requant_fast(u, *qvec).astype(v_ref.dtype)
     v = jnp.pad(v, ((0, 8), (0, 0)))  # tap over-run tail (see v1)
-    if mask is not None:
-        v = mask(v)
-    if out_lanes is not None and out_lanes > v.shape[1]:
-        v = jnp.pad(v, ((0, 0), (0, out_lanes - v.shape[1])))
-    return v
+    return mask(v) if mask is not None else v
 
 
 def _make_kernel3(th: int, we: int, mul4: int, shift4: int, unroll: bool = False,
@@ -321,11 +331,14 @@ def _kernel3_body(
             (q2b_ref[...], q2m_ref[...], q2s_ref[...]),
             mask=(
                 lambda v: _apply_mask(
-                    v, _expand_mask(mkE2[s2_off : s2_off + m2 + 8, :], 48)
+                    v,
+                    _expand_mask(
+                        mkE2[s2_off : s2_off + m2 + 8, :], 48,
+                        pad=w2p_ref.shape[2] - 96,
+                    ),
                 )
             ) if masked else None,
             unroll=unroll,
-            out_lanes=w3p_ref.shape[1],  # 128 under kpad (S3's K)
         )
         if stages <= 2:
             t = jnp.transpose(v2s[:m4, 0:8].astype(jnp.int32))
@@ -336,10 +349,13 @@ def _kernel3_body(
         v3s[...] = _stage_packed(
             v2s, w3p_ref, 3, 2, we2, m3, b3_ref[...],
             (q3b_ref[...], q3m_ref[...], q3s_ref[...]),
-            mask=(lambda v: _apply_mask(v, _expand_mask(mkO2, 48)))
+            mask=(
+                lambda v: _apply_mask(
+                    v, _expand_mask(mkO2, 48, pad=w3p_ref.shape[2] - 96)
+                )
+            )
             if masked else None,
             unroll=unroll,
-            out_lanes=w4p_ref.shape[1],  # 128 under kpad (S4's K)
         )
         if stages <= 3:
             t = jnp.transpose(v3s[:m4, 0:8].astype(jnp.int32))

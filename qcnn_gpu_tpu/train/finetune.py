@@ -40,10 +40,14 @@ def quant_finetune(
     lr: float = 1e-4,
     log_every: int = 10,
     log_fn=print,
+    wbits: int = 8,
 ):
     """Run the shadow-weight fine-tune over `batches` of (images, labels)
     raw-valued float32 [N,H,W,1]. Returns params whose weights sit exactly
-    on the int8 grid (round(w/stepw) in [-128, 127])."""
+    on the signed `wbits` grid (round(w/stepw) in [-2^(b-1), 2^(b-1)-1];
+    wbits=4 is the INT4 stretch variant — same shadow-weight contract,
+    coarser grid)."""
+    qlo, qhi = float(-(1 << (wbits - 1))), float((1 << (wbits - 1)) - 1)
     tx = optax.adam(lr)
     grad_fn = make_grad_fn(mesh, blu_ub)
     step_map = {l.name: stepw[i] for i, l in enumerate(QVRCNN_LAYERS)}
@@ -52,7 +56,7 @@ def quant_finetune(
     wf = dict(params)
     for name, s in step_map.items():
         wf[f"w_{name}"] = jnp.clip(
-            jnp.round(params[f"w_{name}"] / s), -128, 127
+            jnp.round(params[f"w_{name}"] / s), qlo, qhi
         ) * s
 
     opt_state = tx.init(wf)
@@ -69,7 +73,7 @@ def quant_finetune(
             new_wf[key] = wf[key] + updates[key]
         for name, s in step_map.items():
             k = f"w_{name}"
-            new_wf[k] = jnp.clip(new_wf[k], -128.0 * s, 127.0 * s)
+            new_wf[k] = jnp.clip(new_wf[k], qlo * s, qhi * s)
         return new_wf, opt_state, loss
 
     n = 0

@@ -57,7 +57,15 @@ def main():
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--out-dir", default="assets/golden")
+    ap.add_argument("--wbits", type=int, default=8, choices=(4, 8),
+                    help="weight grid: 8 = the reference's INT8 path; 4 = "
+                         "the INT4 stretch variant (coarser shadow-weight "
+                         "grid, same train->solve->finetune->quantize loop; "
+                         "artifacts get an _int4 suffix)")
+    ap.add_argument("--qps", type=int, nargs="*", default=None,
+                    help="subset of QPs (default: all four)")
     args = ap.parse_args()
+    suffix = "" if args.wbits == 8 else f"_int{args.wbits}"
 
     from qcnn_gpu_tpu.data import yuv
     from qcnn_gpu_tpu.data.datasets import PatchDataset
@@ -75,7 +83,10 @@ def main():
     os.makedirs(args.out_dir, exist_ok=True)
     clean_tr, clean_ev = golden_clip()
     goldens = {}
+    qps = args.qps or list(QP_QUALITY)
     for qp, quality in QP_QUALITY.items():
+        if qp not in qps:
+            continue
         anchor_tr = jpeg_anchor(clean_tr, quality)
         anchor_ev = jpeg_anchor(clean_ev, quality)
         before = yuv.psnr(anchor_ev, clean_ev)
@@ -95,14 +106,17 @@ def main():
             tr.fit_batches(ds.batches(args.batch, args.decay_steps))
 
         blu = calibrate_blu_bounds(tr.params, anchor_tr[:4])
-        table = solve_table(tr.params, blu_bounds=blu)
+        table = solve_table(tr.params, blu_bounds=blu, wbits=args.wbits)
         ft = quant_finetune(
             tr.params, table.stepw, tr.mesh,
             ds.batches(args.batch, args.finetune_steps),
             blu_ub=table.blu_adj, lr=args.lr * 0.1, log_every=400,
+            wbits=args.wbits,
         )
-        ep = quantize_model(ft, table)
-        write_static_qfp_vect_c(os.path.join(args.out_dir, f"model_q{qp}.data"), ep)
+        ep = quantize_model(ft, table, wbits=args.wbits)
+        write_static_qfp_vect_c(
+            os.path.join(args.out_dir, f"model_q{qp}{suffix}.data"), ep
+        )
 
         rec = O.forward_blu(anchor_ev, ep)
         after = yuv.psnr(rec, clean_ev)
@@ -110,15 +124,16 @@ def main():
         print(f"QP{qp}: {before:.3f} -> {after:.3f} dB "
               f"({after - before:+.3f})", flush=True)
         with open(os.path.join(args.out_dir,
-                               f"psnr_static_hopper_{qp}.data"), "wb") as fp:
+                               f"psnr_static_hopper_{qp}{suffix}.data"), "wb") as fp:
             fp.write(struct.pack("<2d", before, after))
 
-    with open(os.path.join(args.out_dir, "psnr_golden.json"), "w") as fp:
+    with open(os.path.join(args.out_dir, f"psnr_golden{suffix}.json"), "w") as fp:
         json.dump(
             {
                 "clip": "grace_hopper pan 416x240",
                 "frames_eval": N_EVAL,
                 "qp_quality": QP_QUALITY,
+                "wbits": args.wbits,
                 "goldens": goldens,
             },
             fp,

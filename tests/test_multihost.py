@@ -82,3 +82,53 @@ def test_two_process_distributed_restore(tmp_path):
     for i, (pr, out) in enumerate(zip(procs, outs)):
         assert pr.returncode == 0, f"proc {i} failed:\n{out[-2000:]}"
         assert f"MHOK {i}" in out
+
+
+def test_distributed_runner_duplex_stream_bit_exact():
+    """The duplex block-sparse wire COMPOSED with the sharded mesh program
+    (VERDICT r3 #4): temporal-delta H2D -> sharded restore (halo
+    ppermutes) -> predicted-sparse D2H, chained over multiple batches,
+    bit-exact vs the oracle."""
+    import numpy as np
+
+    from qcnn_gpu_tpu.models import oracle as O
+    from qcnn_gpu_tpu.parallel.distributed import DistributedRunner
+    from qcnn_gpu_tpu.parallel.mesh import make_mesh
+    from qcnn_gpu_tpu.testing import synth_engine_params, synth_frames
+
+    p = synth_engine_params(37)
+    mesh = make_mesh(2, 4)
+    r = DistributedRunner(p, mesh=mesh, impl="int")
+    # video-like stream: slowly-varying frames so the delta wire is
+    # exercised in its sparse regime, plus a ragged tail
+    base = synth_frames(1, 4 * 16, 48, seed=50)[0]
+    rng = np.random.default_rng(0)
+    frames = np.stack([
+        np.clip(base.astype(int) + rng.integers(-2, 3, base.shape), 0, 255)
+        for _ in range(7)
+    ]).astype(np.uint8)
+    want = O.forward_blu(frames, p)
+    got = r.restore_stream(frames, transport="duplex", batch_frames=2)
+    assert got.shape == want.shape
+    assert (got == want).all(), f"{np.sum(got != want)} mismatches (duplex x mesh)"
+    # raw transport through the same mesh program agrees
+    got_raw = r.restore_stream(frames, transport="raw", batch_frames=2)
+    assert (got_raw == want).all()
+
+
+def test_distributed_runner_duplex_on_2d_mesh():
+    """Duplex wire into a 2-D (dp, sp, sw) sharded restore."""
+    import numpy as np
+
+    from qcnn_gpu_tpu.models import oracle as O
+    from qcnn_gpu_tpu.parallel.distributed import DistributedRunner
+    from qcnn_gpu_tpu.parallel.mesh import make_mesh
+    from qcnn_gpu_tpu.testing import synth_engine_params, synth_frames
+
+    p = synth_engine_params(27)
+    mesh = make_mesh(2, 2, sw=2)
+    r = DistributedRunner(p, mesh=mesh, impl="int")
+    frames = synth_frames(4, 2 * 16, 2 * 24, seed=51)
+    want = O.forward_blu(frames, p)
+    got = r.restore_stream(frames, transport="duplex", batch_frames=2)
+    assert (got == want).all(), f"{np.sum(got != want)} mismatches (duplex x 2-D mesh)"

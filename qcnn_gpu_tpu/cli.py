@@ -36,8 +36,9 @@ def cmd_run(args) -> int:
         if args.mesh:
             from qcnn_gpu_tpu.parallel.mesh import make_mesh
 
-            dp, sp = (int(v) for v in args.mesh.split("x"))
-            mesh = make_mesh(dp, sp)
+            dims = [int(v) for v in args.mesh.split("x")]
+            dp, sp = dims[0], dims[1] if len(dims) > 1 else 1
+            mesh = make_mesh(dp, sp, sw=dims[2] if len(dims) > 2 else 1)
         eng = Engine(impl=args.impl, mesh=mesh, out_dir=args.out_dir)
     eng.load_model(args.qp, args.model, fmt=args.model_format)
     rec = eng.run_sequence(
@@ -357,7 +358,9 @@ def build_parser() -> argparse.ArgumentParser:
         choices=["auto", "bf16", "int", "xla", "pallas", "pallas2", "pallas3"],
     )
     p.add_argument("--config", default=None, help="JSON Config file (overrides flags)")
-    p.add_argument("--mesh", default="", help="dpxsp, e.g. 2x4")
+    p.add_argument("--mesh", default="",
+                   help="dpxsp[xsw], e.g. 2x4 or 1x2x4 (sw = frame-column "
+                        "spatial axis, 2-D halo sharding)")
     p.add_argument("--recon", default=None)
     p.add_argument("--out-dir", default=".")
     p.add_argument(

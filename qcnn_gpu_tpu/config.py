@@ -21,6 +21,7 @@ class EngineConfig:
     batch_frames: int = 4
     mesh_dp: int = 0  # 0 => single device / auto
     mesh_sp: int = 1
+    mesh_sw: int = 1  # frame-column spatial axis (2-D halo sharding)
     out_dir: str = "."
     model_format: str = "vect_c"
     qps: List[int] = dataclasses.field(default_factory=lambda: [22, 27, 32, 37])
@@ -65,7 +66,9 @@ class Config:
         if self.engine.mesh_dp > 0:
             from qcnn_gpu_tpu.parallel.mesh import make_mesh
 
-            mesh = make_mesh(self.engine.mesh_dp, self.engine.mesh_sp)
+            mesh = make_mesh(
+                self.engine.mesh_dp, self.engine.mesh_sp, sw=self.engine.mesh_sw
+            )
         return Engine(
             impl=self.engine.impl,
             mesh=mesh,

@@ -176,10 +176,10 @@ def _expand_mask(mk2, c: int, pad: int = 0):
     m = mk2.shape[0]
     parts = [
         jnp.broadcast_to(mk2[:, 0:1], (m, c)),
-        jnp.broadcast_to(mk2[:, 1:2], (m, c)),
+        jnp.broadcast_to(mk2[:, 1:2], (m, c + pad)),
     ]
-    if pad:
-        parts.append(jnp.zeros((m, pad), mk2.dtype))
+    # pad lanes (kpad) reuse phase 1's mask value — their data is already
+    # exact zeros, so any mask works; a broadcast avoids a zeros const
     return jnp.concatenate(parts, axis=1)
 
 

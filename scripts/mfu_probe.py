@@ -1,14 +1,18 @@
-"""MXU rate probe: measured matmul throughput per dtype on this chip.
+"""MXU rate probe — KNOWN-UNRELIABLE on this stack; see caveat.
 
-Answers the question the MFU accounting needs: at what rate does THIS
-chip+toolchain execute the pass shapes the fused kernel issues — and is
-there a native int8 path worth chasing (2x bf16 peak on v5e-class MXUs),
-or do int8 operands run at the bf16 rate?
+CAVEAT (r4, measured): every formulation tried here reports ABOVE-PEAK
+throughput on the v5e behind the axon tunnel (596-685 bf16 "TFLOPs" vs
+the chip's 197 peak) — XLA factors sum-of-dots over a shared operand
+into dot(a, sum(w)), hoists loop-invariant grid steps, and even the
+serial weight-dependency variant below still gets partially elided.
+Numbers from this script must NOT feed MFU accounting. The reliable
+methodology is differencing the production kernel's own stage
+truncations: scripts/stage_marginals.py. This file is kept as the
+record of what was tried and why it fails.
 
-Method: every grid step loads a DIFFERENT lhs block (so nothing is
-loop-invariant) and contracts it with CHAIN different weight slices,
-accumulating — the steady-state MXU pass rate with operands resident in
-VMEM. Reports achieved MAC/s and rows/cycle at ~940 MHz.
+One result here that IS usable (relative, both paths equally elided):
+int8 and bf16 operands time the same => no 2x int8 pass on this
+chip+toolchain.
 Run ON TPU:  python scripts/mfu_probe.py
 """
 

@@ -64,6 +64,34 @@ def certify_exact_bf16(p: EngineParams) -> bool:
     return all(b < _EXACT_F32_LIMIT for b in exactness_bounds(p))
 
 
+def _normalized_table(p: EngineParams):
+    """Per-layer (mul, shift) with common powers of two stripped (an exact
+    identity — ops/requant.normalize_mul_shift), then range-checked so the
+    engine's int32 requant can never wrap: BLU layers against their
+    clamped product, the final layer against its worst-case accumulator
+    bound. Solver outputs for near-degenerate layers (observed in INT4
+    solves: mul=2^25/shift=27) land back in the reference envelope."""
+    from qcnn_gpu_tpu.ops.requant import (
+        check_blu_requant_i32_safe,
+        normalize_mul_shift,
+    )
+
+    muls, shifts = [], []
+    for i in range(6):
+        m, s = normalize_mul_shift(p.mul[i], p.shift[i])
+        if i < 5:
+            check_blu_requant_i32_safe(p.blu_q[i], m, s, name=f"layer {i}")
+        muls.append(m)
+        shifts.append(s)
+    bound5 = exactness_bounds(p)[5]
+    if bound5 * muls[5] + (1 << (shifts[5] - 1)) >= 1 << 31:
+        raise ValueError(
+            f"final requant (mul={muls[5]}, shift={shifts[5]}) can wrap "
+            f"int32 at accumulator bound {bound5}; re-solve with a smaller shift"
+        )
+    return tuple(muls), tuple(shifts)
+
+
 @dataclasses.dataclass(frozen=True)
 class ModelParams:
     """Device-ready parameters. Weights/biases as jnp arrays; quant scalars
@@ -81,6 +109,7 @@ class ModelParams:
     @classmethod
     def from_engine(cls, p: EngineParams) -> "ModelParams":
         p.validate()
+        mul, shift = _normalized_table(p)
         return cls(
             weights_bf16=tuple(
                 jnp.asarray(w, dtype=jnp.bfloat16) for w in p.weights
@@ -88,8 +117,8 @@ class ModelParams:
             weights_i8=tuple(jnp.asarray(w, dtype=jnp.int8) for w in p.weights),
             biases_i32=tuple(jnp.asarray(b, dtype=jnp.int32) for b in p.biases),
             blu_q=tuple(int(v) for v in p.blu_q),
-            mul=tuple(int(v) for v in p.mul),
-            shift=tuple(int(v) for v in p.shift),
+            mul=mul,
+            shift=shift,
             exact_bf16=certify_exact_bf16(p),
         )
 
@@ -143,14 +172,16 @@ class MergedParams:
         ]
         bs = [b[0], np.concatenate([b[1], b[2]]), np.concatenate([b[3], b[4]]), b[5]]
 
+        n_mul, n_shift = _normalized_table(p)
+
         def vec(idx_pairs):
             """Per-channel requant vectors for a merged stage."""
             blu, mul, bias, shift = [], [], [], []
             for idx, nch in idx_pairs:
                 blu += [p.blu_q[idx]] * nch
-                mul += [p.mul[idx]] * nch
-                bias += [(1 << (p.shift[idx] - 1)) // p.mul[idx]] * nch
-                shift += [p.shift[idx]] * nch
+                mul += [n_mul[idx]] * nch
+                bias += [(1 << (n_shift[idx] - 1)) // n_mul[idx]] * nch
+                shift += [n_shift[idx]] * nch
             return tuple(
                 jnp.asarray(v, dtype=jnp.int32) for v in (blu, mul, bias, shift)
             )
@@ -166,8 +197,8 @@ class MergedParams:
             mul=(v1[1], v2[1], v3[1]),
             bias_pre=(v1[2], v2[2], v3[2]),
             shift=(v1[3], v2[3], v3[3]),
-            mul4=int(p.mul[5]),
-            shift4=int(p.shift[5]),
+            mul4=int(n_mul[5]),
+            shift4=int(n_shift[5]),
             exact_bf16=certify_exact_bf16(p),
         )
 

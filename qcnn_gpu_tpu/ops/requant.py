@@ -18,6 +18,45 @@ import jax.numpy as jnp
 THRESHOLD = 127
 
 
+def normalize_mul_shift(mul: int, shift: int):
+    """Strip common powers of two from a (mul, shift) pair — an EXACT
+    identity for BOTH reference rounding forms:
+
+      pre-multiply:  ((u + (1<<(s-1))//(m*2^t)) * m*2^t) >> s
+                   == ((u + (1<<(s-1-t))//m) * m) >> (s-t)
+        (the bias equality holds because (1<<(s-1))/(m*2^t) and
+         (1<<(s-1-t))/m are the same rational, so floors agree)
+      post-multiply: (u*m*2^t + (1<<(s-1))) >> s
+                   == ((u*m + (1<<(s-1-t))) << t) >> s  == RHS >> (s-t)
+
+    Solver outputs for layers with tiny accumulator ranges can carry
+    power-of-two-heavy muls (observed: mul=2^25, shift=27 from an INT4
+    solve) whose products overflow int32; normalization brings every
+    such pair back into the reference's int32 envelope without changing
+    a single output bit."""
+    mul, shift = int(mul), int(shift)
+    while mul >= 2 and mul % 2 == 0 and shift > 1:
+        mul //= 2
+        shift -= 1
+    return mul, shift
+
+
+def check_blu_requant_i32_safe(blu_q: int, mul: int, shift: int, name: str = "") -> None:
+    """The engine computes BLU requant in int32; the kept branch's largest
+    product is (blu_q + bias) * mul. Raise rather than silently wrap —
+    tables beyond this envelope are also beyond the REFERENCE engine's
+    own int32 arithmetic (mat.cu:262-303)."""
+    bias = (1 << (shift - 1)) // mul if mul else 0
+    prod = (int(blu_q) + bias) * int(mul)
+    if prod >= 1 << 31:
+        raise ValueError(
+            f"requant table {name or ''} (blu_q={blu_q}, mul={mul}, "
+            f"shift={shift}) needs {prod.bit_length()}-bit products; "
+            "outside the int32 engine envelope even after mul/shift "
+            "normalization — re-solve with a smaller shift"
+        )
+
+
 def blu_requant_i32(u: jnp.ndarray, blu_q: int, mul: int, shift: int) -> jnp.ndarray:
     """u int32 accumulator -> int8-valued int32 in [0, 127].
 

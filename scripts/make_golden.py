@@ -127,14 +127,22 @@ def main():
                                f"psnr_static_hopper_{qp}{suffix}.data"), "wb") as fp:
             fp.write(struct.pack("<2d", before, after))
 
-    with open(os.path.join(args.out_dir, f"psnr_golden{suffix}.json"), "w") as fp:
+    # merge with any existing goldens file so partial runs (--qps) extend
+    # rather than replace the committed set
+    out_json = os.path.join(args.out_dir, f"psnr_golden{suffix}.json")
+    merged = {}
+    if os.path.exists(out_json):
+        with open(out_json) as fp:
+            merged = json.load(fp).get("goldens", {})
+    merged.update({str(k): v for k, v in goldens.items()})
+    with open(out_json, "w") as fp:
         json.dump(
             {
                 "clip": "grace_hopper pan 416x240",
                 "frames_eval": N_EVAL,
                 "qp_quality": QP_QUALITY,
                 "wbits": args.wbits,
-                "goldens": goldens,
+                "goldens": merged,
             },
             fp,
             indent=1,

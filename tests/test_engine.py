@@ -401,3 +401,29 @@ def test_duplex_send_snapshots_prev_frame(tmp_path):
     item = tr.send(nxt.copy())
     nxt_rec = tr.receive(nxt, item)
     assert (nxt_rec == O.forward_blu(nxt, p)).all()
+
+
+def test_cli_run_2d_mesh(tmp_path, clip):
+    """CLI --mesh dpxspxsw drives the 2-D halo-sharded engine end-to-end
+    on disk artifacts, bit-exact vs the oracle."""
+    import jax
+
+    from qcnn_gpu_tpu import cli
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    ori_p, anc_p, _, anchor = clip
+    p = synth_engine_params(37)
+    vect = str(tmp_path / "m.vectc")
+    model_files.write_static_qfp_vect_c(vect, p)
+    rc = cli.main(
+        [
+            "run", "--ori", ori_p, "--anchor", anc_p, "--height", "48",
+            "--width", "64", "--frames", "2", "--model", vect, "--qp", "37",
+            "--impl", "int", "--mesh", "1x2x2", "--out-dir", str(tmp_path),
+            "--recon", str(tmp_path / "r2d.yuv"),
+        ]
+    )
+    assert rc == 0
+    recon = yuv.read_y(str(tmp_path / "r2d.yuv"), 48, 64, 2)
+    assert (recon == O.forward_blu(anchor[:2], p)).all()

@@ -37,6 +37,11 @@ def cmd_run(args) -> int:
             from qcnn_gpu_tpu.parallel.mesh import make_mesh
 
             dims = [int(v) for v in args.mesh.split("x")]
+            if len(dims) not in (1, 2, 3):
+                raise SystemExit(
+                    f"--mesh {args.mesh!r}: expected DPxSP[xSW] with 1-3 "
+                    f"'x'-separated dims, got {len(dims)}"
+                )
             dp, sp = dims[0], dims[1] if len(dims) > 1 else 1
             mesh = make_mesh(dp, sp, sw=dims[2] if len(dims) > 2 else 1)
         eng = Engine(impl=args.impl, mesh=mesh, out_dir=args.out_dir)
@@ -85,6 +90,10 @@ CONVERT_FORMATS = {
     "static": {
         "hwcn": ("read_static_qfp_hwcn", "write_static_qfp_hwcn"),
         "vect_c": ("read_static_qfp_vect_c", "write_static_qfp_vect_c"),
+        # per-channel INT4 extension (write collapses scalar rows exactly,
+        # so static tables convert losslessly INTO pc; pc -> scalar formats
+        # is only legal when every row is single-valued)
+        "pc": ("read_static_qfp_pc", "write_static_qfp_pc"),
     },
     "dynamic": {
         "dyn_hwcn": ("read_dynamic_hwcn", "write_dynamic_hwcn"),
@@ -348,7 +357,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--anchor", required=True)
     _add_geometry(p)
     p.add_argument("--model", required=True)
-    p.add_argument("--model-format", default="vect_c", choices=["vect_c", "hwcn"])
+    p.add_argument("--model-format", default="vect_c", choices=["vect_c", "hwcn", "pc"])
     p.add_argument("--qp", type=int, required=True)
     p.add_argument(
         "--impl",
@@ -375,7 +384,7 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("sweep", help="run the JCT-VC manifest (run_all analog)")
     p.add_argument("--data-root", required=True)
     p.add_argument("--model-pattern", required=True, help="e.g. models/q%%d.data")
-    p.add_argument("--model-format", default="vect_c", choices=["vect_c", "hwcn"])
+    p.add_argument("--model-format", default="vect_c", choices=["vect_c", "hwcn", "pc"])
     p.add_argument("--qps", default="22,27,32,37")
     p.add_argument("--manifest", default=None)
     p.add_argument(
@@ -421,7 +430,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--frames", type=int, default=1)
     p.add_argument("--table-out", default="quant_table.data")
     p.add_argument("--model-out", default=None)
-    p.add_argument("--model-format", default="vect_c", choices=["vect_c", "hwcn"])
+    p.add_argument("--model-format", default="vect_c", choices=["vect_c", "hwcn", "pc"])
     p.add_argument("--wbits", type=int, default=8, choices=[4, 8],
                    help="weight grid: 8 (reference) or 4 (INT4 stretch)")
     p.set_defaults(fn=cmd_calibrate)
@@ -451,7 +460,7 @@ def build_parser() -> argparse.ArgumentParser:
 
     p = sub.add_parser("validate", help="cross-impl validation report (viewmem analog)")
     p.add_argument("--model", required=True)
-    p.add_argument("--model-format", default="vect_c", choices=["vect_c", "hwcn"])
+    p.add_argument("--model-format", default="vect_c", choices=["vect_c", "hwcn", "pc"])
     p.add_argument("--anchor", default=None)
     p.add_argument("--height", type=int, default=0)
     p.add_argument("--width", type=int, default=0)
@@ -463,7 +472,7 @@ def build_parser() -> argparse.ArgumentParser:
         "calibrate-dynamic", help="dynamic-path max_u telemetry (save_steps analog)"
     )
     p.add_argument("--model", required=True, help="dynamic-format model file (static qfp for --mode hybrid)")
-    p.add_argument("--model-format", default="vect_c", choices=["vect_c", "hwcn"],
+    p.add_argument("--model-format", default="vect_c", choices=["vect_c", "hwcn", "pc"],
                    help="static-qfp container for --mode hybrid")
     p.add_argument("--anchor", required=True)
     _add_geometry(p)

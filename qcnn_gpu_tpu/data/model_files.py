@@ -190,6 +190,63 @@ def write_static_qfp_vect_c(path: PathOrIO, p: EngineParams) -> None:
             fp.close()
 
 
+STATIC_QFP_PC_MAGIC = b"QFPC0001"
+
+
+def write_static_qfp_pc(path: PathOrIO, p: EngineParams) -> None:
+    """Per-CHANNEL static format (this framework's INT4 extension; no
+    reference analog — the reference's formats carry one scalar
+    (blu, mul, shift) triple per layer, qvrcnn.cu:535-556). Layout:
+    8-byte magic, then per layer: w int8 HWCN, b int32[cout], blu
+    int32[cout], mul int32[cout], shift int32[cout] (scalar rows are
+    broadcast on write; single-valued rows collapse back to scalars on
+    read, so scalar tables round-trip exactly)."""
+    fp, close = _open(path, "wb")
+    try:
+        fp.write(STATIC_QFP_PC_MAGIC)
+        for i, layer in enumerate(QVRCNN_LAYERS):
+            cout = layer.out_ch
+            fp.write(np.ascontiguousarray(p.weights[i], dtype=np.int8).tobytes())
+            fp.write(np.asarray(p.biases[i], dtype="<i4").tobytes())
+            for v in (p.blu_q[i], p.mul[i], p.shift[i]):
+                fp.write(
+                    np.broadcast_to(np.asarray(v), (cout,)).astype("<i4").tobytes()
+                )
+    finally:
+        if close:
+            fp.close()
+
+
+def read_static_qfp_pc(path: PathOrIO) -> EngineParams:
+    fp, close = _open(path, "rb")
+    try:
+        magic = fp.read(8)
+        if magic != STATIC_QFP_PC_MAGIC:
+            raise ValueError(
+                f"{path}: not a static-qfp-pc file (magic {magic!r})"
+            )
+        ws, bs, blus, muls, shifts = [], [], [], [], []
+        for layer in QVRCNN_LAYERS:
+            k, cin, cout = layer.ksize, layer.in_ch, layer.out_ch
+            w = np.frombuffer(fp.read(k * k * cin * cout), dtype=np.int8).reshape(
+                k, k, cin, cout
+            )
+            b = np.frombuffer(fp.read(4 * cout), dtype="<i4").astype(np.int32)
+            rows = []
+            for _ in range(3):
+                v = np.frombuffer(fp.read(4 * cout), dtype="<i4").astype(np.int64)
+                rows.append(int(v[0]) if np.all(v == v[0]) else v)
+            ws.append(w.copy())
+            bs.append(b)
+            blus.append(rows[0])
+            muls.append(rows[1])
+            shifts.append(rows[2])
+        return _warn_if_residual_zeroed(EngineParams(ws, bs, blus, muls, shifts), path)
+    finally:
+        if close:
+            fp.close()
+
+
 # ---------------------------------------------------------------------------
 # Dynamic model format (stepw, w, b per layer — cnn.cu:69-89)
 # ---------------------------------------------------------------------------

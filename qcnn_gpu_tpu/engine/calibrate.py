@@ -39,18 +39,30 @@ def solve_table(
     blu_bounds: Optional[Sequence[float]] = None,
     qp: Optional[int] = None,
     wbits: int = 8,
+    per_channel: bool = False,
 ) -> QuantTable:
     """Fixed-point table from float weights; blu_bounds from calibration or
     the reference's per-QP presets. wbits=4 solves for the INT4 stretch
-    grid (larger stepw; the mul/shift chain adapts automatically)."""
+    grid (larger stepw; the mul/shift chain adapts automatically).
+    per_channel=True gives every output channel its own stepw and
+    (mul, shift), equalized to a common output scale — the INT4 quality
+    closure (quant/solver.solve_network_per_channel)."""
     if blu_bounds is None:
         if qp is None:
             raise ValueError("need blu_bounds or qp")
         blu_bounds = BLU_INIT[qp]
     ws, _ = FM.params_to_lists(params)
-    return solve_network(
-        stepw_from_weights([np.asarray(w) for w in ws], bits=wbits), blu_bounds
-    )
+    ws = [np.asarray(w) for w in ws]
+    if per_channel:
+        from qcnn_gpu_tpu.quant.solver import (
+            solve_network_per_channel,
+            stepw_per_channel,
+        )
+
+        return solve_network_per_channel(
+            stepw_per_channel(ws, bits=wbits), blu_bounds
+        )
+    return solve_network(stepw_from_weights(ws, bits=wbits), blu_bounds)
 
 
 def quantize_model(params: FM.Params, table: QuantTable, wbits: int = 8) -> EngineParams:

@@ -65,7 +65,13 @@ class Engine:
         if not os.path.exists(path):
             # "cannot open model file." (qvrcnn.cu:33-36), minus the exit(1)
             raise FileNotFoundError(f"cannot open model file: {path}")
-        reader = {"vect_c": read_static_qfp_vect_c, "hwcn": read_static_qfp_hwcn}[fmt]
+        from qcnn_gpu_tpu.data.model_files import read_static_qfp_pc
+
+        reader = {
+            "vect_c": read_static_qfp_vect_c,
+            "hwcn": read_static_qfp_hwcn,
+            "pc": read_static_qfp_pc,  # per-channel INT4 extension
+        }[fmt]
         self._models[qp] = reader(path)
         self.reset_demotions(qp)
 

@@ -87,14 +87,21 @@ class EngineParams:
         come from stepw_from_weights(bits=4) for full-range use."""
         lo, hi = -(1 << (wbits - 1)), (1 << (wbits - 1)) - 1
         ws, bs, blus, muls, shifts = [], [], [], [], []
+
+        def field(v):
+            """Scalar rows stay Python ints; per-channel rows
+            (LayerQuantVec) stay [out_ch] int64 vectors — every integer
+            primitive below broadcasts them over the channel axis."""
+            return np.asarray(v, np.int64) if np.ndim(v) else int(v)
+
         for wf, bf, row in zip(weights_f, biases_f, table):
             wq = np.clip(np.round(wf / row.stepw), lo, hi).astype(np.int8)
             bq = np.round(np.asarray(bf) * row.ratio / row.stepw).astype(np.int32)
             ws.append(wq)
             bs.append(bq)
-            blus.append(int(row.blu_q))
-            muls.append(int(row.mul))
-            shifts.append(int(row.shift))
+            blus.append(field(row.blu_q))
+            muls.append(field(row.mul))
+            shifts.append(field(row.shift))
         return cls(ws, bs, blus, muls, shifts)
 
 
@@ -147,9 +154,15 @@ def conv_int(x: np.ndarray, w: np.ndarray, b: Optional[np.ndarray] = None) -> np
     return out
 
 
-def blu_requant(u: np.ndarray, blu_q: int, mul: int, shift: int) -> np.ndarray:
-    """Fused BLU + requantization (contract item 4). Returns int64 in [0,127]."""
+def blu_requant(u: np.ndarray, blu_q, mul, shift) -> np.ndarray:
+    """Fused BLU + requantization (contract item 4). Returns int64 in [0,127].
+
+    blu_q/mul/shift are per-layer scalars, or [out_ch] vectors broadcast
+    over u's channel axis (per-channel tables, LayerQuantVec)."""
     u = u.astype(np.int64)
+    blu_q = np.asarray(blu_q, np.int64)
+    mul = np.asarray(mul, np.int64)
+    shift = np.asarray(shift, np.int64)
     bias = (1 << (shift - 1)) // mul
     mid = ((u + bias) * mul) >> shift  # u >= 0 here => floor shift
     return np.where(u > blu_q, THRESHOLD, np.where(u < 0, 0, mid))

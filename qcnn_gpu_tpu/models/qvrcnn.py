@@ -78,9 +78,25 @@ def _normalized_table(p: EngineParams):
 
     muls, shifts = [], []
     for i in range(6):
-        m, s = normalize_mul_shift(p.mul[i], p.shift[i])
-        if i < 5:
-            check_blu_requant_i32_safe(p.blu_q[i], m, s, name=f"layer {i}")
+        if np.ndim(p.mul[i]) or np.ndim(p.shift[i]):
+            # per-channel rows (LayerQuantVec tables): normalize and
+            # range-check every channel independently
+            mv, sv = np.broadcast_arrays(
+                np.asarray(p.mul[i], np.int64), np.asarray(p.shift[i], np.int64)
+            )
+            bv = np.broadcast_to(np.asarray(p.blu_q[i], np.int64), mv.shape)
+            pairs = [normalize_mul_shift(m, s) for m, s in zip(mv, sv)]
+            m = np.asarray([q[0] for q in pairs], np.int64)
+            s = np.asarray([q[1] for q in pairs], np.int64)
+            if i < 5:
+                for c in range(len(m)):
+                    check_blu_requant_i32_safe(
+                        bv[c], m[c], s[c], name=f"layer {i} ch {c}"
+                    )
+        else:
+            m, s = normalize_mul_shift(p.mul[i], p.shift[i])
+            if i < 5:
+                check_blu_requant_i32_safe(p.blu_q[i], m, s, name=f"layer {i}")
         muls.append(m)
         shifts.append(s)
     bound5 = exactness_bounds(p)[5]
@@ -116,7 +132,10 @@ class ModelParams:
             ),
             weights_i8=tuple(jnp.asarray(w, dtype=jnp.int8) for w in p.weights),
             biases_i32=tuple(jnp.asarray(b, dtype=jnp.int32) for b in p.biases),
-            blu_q=tuple(int(v) for v in p.blu_q),
+            blu_q=tuple(
+                np.asarray(v, np.int64) if np.ndim(v) else int(v)
+                for v in p.blu_q
+            ),
             mul=mul,
             shift=shift,
             exact_bf16=certify_exact_bf16(p),
@@ -175,13 +194,18 @@ class MergedParams:
         n_mul, n_shift = _normalized_table(p)
 
         def vec(idx_pairs):
-            """Per-channel requant vectors for a merged stage."""
+            """Per-channel requant vectors for a merged stage. Scalar rows
+            broadcast to their channel count; per-channel rows
+            (LayerQuantVec tables) pass through as-is."""
             blu, mul, bias, shift = [], [], [], []
             for idx, nch in idx_pairs:
-                blu += [p.blu_q[idx]] * nch
-                mul += [n_mul[idx]] * nch
-                bias += [(1 << (n_shift[idx] - 1)) // n_mul[idx]] * nch
-                shift += [n_shift[idx]] * nch
+                b = np.broadcast_to(np.asarray(p.blu_q[idx], np.int64), (nch,))
+                m = np.broadcast_to(np.asarray(n_mul[idx], np.int64), (nch,))
+                s = np.broadcast_to(np.asarray(n_shift[idx], np.int64), (nch,))
+                blu += list(b)
+                mul += list(m)
+                bias += list((1 << (s - 1)) // m)
+                shift += list(s)
             return tuple(
                 jnp.asarray(v, dtype=jnp.int32) for v in (blu, mul, bias, shift)
             )

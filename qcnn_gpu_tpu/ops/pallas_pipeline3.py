@@ -227,9 +227,50 @@ def _stage_packed(v_ref, w_ref, kdy, nd, we2, m_out, b_i32, qvec, mask=None,
     return mask(v) if mask is not None else v
 
 
+def _s1_mode(s1: str, dtype):
+    """Decode the S1 operand mode (kernel v5, round 5).
+
+    'a1t'     — v3: host ships the full 30-tap im2col [32, m1] (~16 B/px);
+    'op6'     — v5: host ships SIX column-tap planes [8, L] (~3.3 B/px,
+                L = he*we2) and the kernel restacks the 30 (dy, u) taps
+                into a [32, m1] VMEM scratch with lane-aligned slices
+                (dy*we2 is a multiple of 128 when we == 256) before the
+                same single K=32 MXU pass. Scratch writes land 8 rows at
+                sublane offsets 6*dy (ascending, so overlaps resolve to
+                the correct group);
+    'op6x8'   — v5 with 8-row group stride (w1 re-laid to [40, 128] with
+                zero rows at g*dy+6/7) — sublane offsets 8*dy;
+    'op6bf16' — v5 with a bf16 scratch at 16-row stride ([80, 128] w1):
+                16-row offsets are tile-aligned for bf16's (16, 128)
+                tiling, trading aligned copies for a bf16-rate S1 pass.
+                Exact: int8 values and their <=2^24 sums are exact in
+                bf16 operands / f32 accumulation.
+    Returns (op6, group_stride, scratch_dtype)."""
+    if s1 == "a1t":
+        return False, 6, dtype
+    if s1 == "op6":
+        return True, 6, dtype
+    if s1 == "op6x8":
+        return True, 8, dtype
+    if s1 == "op6bf16":
+        return True, 16, jnp.bfloat16
+    raise ValueError(f"unknown s1 mode {s1!r}")
+
+
+def _w1_regroup(w1: np.ndarray, g: int) -> np.ndarray:
+    """[32, 128] (rows 6*dy+u) -> [4*g+8, 128] (rows g*dy+u, u<6; zeros
+    elsewhere). g=6 returns w1 unchanged."""
+    if g == 6:
+        return w1
+    out = np.zeros((4 * g + 8, w1.shape[1]), w1.dtype)
+    for dy in range(5):
+        out[g * dy : g * dy + 6] = w1[6 * dy : 6 * dy + 6]
+    return out
+
+
 def _make_kernel3(th: int, we: int, mul4: int, shift4: int, unroll: bool = False,
                   stages: int = 4, wc: int = 1, atlas: bool = False,
-                  masked: bool = True):
+                  masked: bool = True, op6: bool = False, s1_group: int = 6):
     """masked=False emits the INTERIOR-tile variant: no mask operands in
     the signature and no mask multiplies in any stage — tiles whose
     halo-extended buffer cannot cross a frame edge compute identical
@@ -259,6 +300,7 @@ def _make_kernel3(th: int, we: int, mul4: int, shift4: int, unroll: bool = False
             q3b_ref, q3m_ref, q3s_ref,
             out_ref,  # [1,1,wc, 2, m4] i16 residuals, lane-major, ROW/phase
             v1s, v2s, v3s,
+            *a1s,  # op6 only: [4g+8, m1] S1 tap-restack scratch
         ) = rest
         return _kernel3_body(
             a1t_ref, mkE_ref, mkO_ref,
@@ -266,8 +308,9 @@ def _make_kernel3(th: int, we: int, mul4: int, shift4: int, unroll: bool = False
             b1_ref, b2_ref, b3_ref, b4_ref,
             q1b_ref, q1m_ref, q1s_ref, q2b_ref, q2m_ref, q2s_ref,
             q3b_ref, q3m_ref, q3s_ref, out_ref, v1s, v2s, v3s,
+            a1s[0] if a1s else None,
             th=th, we=we, mul4=mul4, shift4=shift4, unroll=unroll,
-            stages=stages, wc=wc, atlas=atlas,
+            stages=stages, wc=wc, atlas=atlas, s1_group=s1_group,
         )
 
     return kernel
@@ -276,7 +319,9 @@ def _make_kernel3(th: int, we: int, mul4: int, shift4: int, unroll: bool = False
 def _kernel3_body(
         a1t_ref,  # [1,1,wc, 32, m1] TAP-major S1 im2col (taps (dy,u));
         #           S1 contracts dim 0 so the HBM operand needs no lane
-        #           padding and no host-side transpose
+        #           padding and no host-side transpose.
+        #           op6 (v5): [1,1,wc, 8, L] instead — six column-tap
+        #           planes; the (dy, u) taps are restacked in-kernel.
         mkE_ref,  # [1,wc, m1+8, 2] per-phase mask, EVEN col origins (v1, v2)
         mkO_ref,  # [1,wc, m3+8, 2] per-phase mask, ODD col origin (v3)
         w1_ref, w2p_ref, w3p_ref, w4p_ref,
@@ -286,7 +331,8 @@ def _kernel3_body(
         q3b_ref, q3m_ref, q3s_ref,
         out_ref,  # [1,1,wc, 2, m4] i16 residuals, lane-major, ROW per phase
         v1s, v2s, v3s,
-        *, th, we, mul4, shift4, unroll, stages, wc, atlas,
+        a1s,  # op6 only: [4g+8, m1] S1 tap-restack scratch, else None
+        *, th, we, mul4, shift4, unroll, stages, wc, atlas, s1_group,
     ):
       we2 = we // 2
       m1 = (th + 8) * we2
@@ -302,18 +348,32 @@ def _kernel3_body(
             mkO2 = mkO_ref[0] if atlas else mkO_ref[0, wi]
         # ---- S1: ONE pass for both phases; lhs arrives tap-major, the
         # dot contracts lhs dim 0 (Mosaic streams the transposed operand
-        # through the MXU natively) ----
-        act_dtype = w1_ref.dtype
-        acc1 = jnp.int32 if act_dtype == jnp.int8 else jnp.float32
+        # through the MXU natively). op6: restack the (dy, u) taps from
+        # the six shifted planes first — tap (dy, u) is plane u at flat
+        # offset dy*we2 (a lane-tile-aligned slice when we2 % 128 == 0),
+        # written as full 8-row groups at sublane offset g*dy (ascending,
+        # so for g=6 the 2-row overlap resolves to the next group's
+        # correct rows; rows beyond tap 5 hit zero weight rows) ----
+        acc1 = jnp.int32 if w1_ref.dtype == jnp.int8 else jnp.float32
+        if a1s is not None:
+            g = s1_group
+            a6 = a1t_ref[0, 0, wi]  # [8, L]
+            for dy in range(5):
+                a1s[dy * g : dy * g + 8, :] = a6[
+                    :, dy * we2 : dy * we2 + m1
+                ].astype(a1s.dtype)
+            lhs = a1s[...]
+        else:
+            lhs = a1t_ref[0, 0, wi]
         u1 = jax.lax.dot_general(
-            a1t_ref[0, 0, wi], w1_ref[...],
+            lhs, w1_ref[...],
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=acc1,
         )  # [m1, 128]
         v1 = _requant_fast(
             u1.astype(jnp.int32) + b1_ref[...],
             q1b_ref[...], q1m_ref[...], q1s_ref[...],
-        ).astype(act_dtype)
+        ).astype(v1s.dtype)
         v1 = jnp.pad(v1, ((0, 8), (0, 0)))
         v1s[...] = _apply_mask(v1, _expand_mask(mkE2, 64)) if masked else v1
 
@@ -445,6 +505,7 @@ def build_pallas_forward3(
     p: EngineParams, th: int = 64, we: int = 256, interpret: bool = False,
     unroll: bool = True, dtype=None, stages: int = 4, wc: int = 1,
     row_bounds: bool = False, col_bounds: bool = False, kpad: bool = False,
+    s1: str = "a1t",
     _debug: str = "",
 ):
     """Width-packed fused restorer: fn(uint8 [B,H,W]) -> uint8 [B,H,W],
@@ -460,6 +521,7 @@ def build_pallas_forward3(
     sharding contract."""
     assert we % 2 == 0, "v3 packs two columns per lane group: we must be even"
     dtype = dtype if dtype is not None else jnp.int8
+    op6, s1g, s1_dtype = _s1_mode(s1, dtype)
     pw = PackedWeights3.from_engine(p, dtype=dtype, kpad=kpad)
     tw = we - PAD
     he = th + PAD
@@ -468,6 +530,14 @@ def build_pallas_forward3(
     m3 = (th + 2) * we2
     m4 = th * we2
     consts = pw.consts()
+    if op6:
+        if we2 % 128:
+            raise ValueError(
+                f"s1={s1!r} needs lane-tile-aligned dy*we2 slices "
+                f"(we % 256 == 0), got we={we}"
+            )
+        w1_np = np.asarray(pw.w1).astype(np.float32)
+        consts[0] = jnp.asarray(_w1_regroup(w1_np, s1g), dtype=s1_dtype)
 
     def _fwd(x_uint8, hb, wb=None):
         b, h, w = x_uint8.shape
@@ -492,21 +562,34 @@ def build_pallas_forward3(
             planes.append(
                 jnp.pad(xw.reshape(b, nh, nw, he * we2), ((0, 0),) * 3 + ((0, 8),))
             )
-        taps = [
-            planes[u % 2][..., dy * we2 + u // 2 : dy * we2 + u // 2 + m1]
-            for dy in range(5)
-            for u in range(6)
-        ]
-        # the operand stays TAP-MAJOR [.., 32, m1]: minor dim m1 needs no
-        # lane padding and the stack writes it directly, so XLA's copy
-        # into the custom-call operand layout is a plain fused loop. Both
-        # alternatives measured pathological: stacking on the minor axis
-        # materializes every tap as [.., m1, 1] lane-padded 128x (18.5 GB
-        # compile-time OOM at 1080p B=4), and swapaxes-after-stack costs
-        # ~22 ms/frame in the operand-layout copy (vs 0.09 ms for this
-        # form). The kernel contracts dim 0 of the [32, m1] block instead.
-        a1t = jnp.stack(taps, axis=3)  # [B, nh, nw, 30, m1] — no padding
-        a1t = jnp.pad(a1t, ((0, 0),) * 3 + ((0, 2), (0, 0)))
+        if op6:
+            # v5: ship only the SIX column taps (u in [0, 6): plane u%2 at
+            # flat offset u//2) — L = he*we2 covers every dy row shift,
+            # which the kernel applies as lane-aligned slices. ~3.3 B/px
+            # vs the 30-tap stack's ~16 B/px; the window gather above is
+            # unchanged, the 30-slice stack (the measured 1.37 ms/frame
+            # prep bulk at 1080p) collapses to 6 slices.
+            L = he * we2  # == m1 + 4*we2
+            six = [planes[u % 2][..., u // 2 : u // 2 + L] for u in range(6)]
+            a1t = jnp.stack(six, axis=3)  # [B, nh, nw, 6, L]
+            a1t = jnp.pad(a1t, ((0, 0),) * 3 + ((0, 2), (0, 0)))
+        else:
+            taps = [
+                planes[u % 2][..., dy * we2 + u // 2 : dy * we2 + u // 2 + m1]
+                for dy in range(5)
+                for u in range(6)
+            ]
+            # the operand stays TAP-MAJOR [.., 32, m1]: minor dim m1 needs
+            # no lane padding and the stack writes it directly, so XLA's
+            # copy into the custom-call operand layout is a plain fused
+            # loop. Both alternatives measured pathological: stacking on
+            # the minor axis materializes every tap as [.., m1, 1]
+            # lane-padded 128x (18.5 GB compile-time OOM at 1080p B=4),
+            # and swapaxes-after-stack costs ~22 ms/frame in the
+            # operand-layout copy (vs 0.09 ms for this form). The kernel
+            # contracts dim 0 of the [32, m1] block instead.
+            a1t = jnp.stack(taps, axis=3)  # [B, nh, nw, 30, m1] — no padding
+            a1t = jnp.pad(a1t, ((0, 0),) * 3 + ((0, 2), (0, 0)))
 
         # mask transport: class ATLAS when possible (wc=1, static frame
         # bounds, tiles big enough that only first/last/second-to-last
@@ -556,6 +639,8 @@ def build_pallas_forward3(
             pltpu.VMEM(((th + 4) * we2 + 8, mid_lanes), dtype),
             pltpu.VMEM(((th + 2) * we2 + 8, mid_lanes), dtype),
         ]
+        if op6:
+            scratch_shapes.append(pltpu.VMEM((4 * s1g + 8, m1), s1_dtype))
         cparams = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
         def launch(nr, nc, row_of, col_of, use_masks):
@@ -564,10 +649,11 @@ def build_pallas_forward3(
             units). use_masks=False runs the interior-tile kernel variant
             (no mask operands, no mask multiplies)."""
             kern = _make_kernel3(th, we, pw.mul4, pw.shift4, unroll, stages,
-                                 wc, atlas=atlas, masked=use_masks)
+                                 wc, atlas=atlas, masked=use_masks,
+                                 op6=op6, s1_group=s1g)
             in_specs = [
                 pl.BlockSpec(
-                    (1, 1, wc, 32, m1),
+                    (1, 1, wc) + tuple(a1t.shape[-2:]),
                     lambda bi, hi, wi: (bi, row_of(hi), col_of(wi), 0, 0),
                     memory_space=pltpu.VMEM,
                 )
@@ -671,4 +757,5 @@ def build_pallas_forward3(
         run = jax.jit(lambda x: _fwd(x, x.shape[1]))
     run.geometry = (th, we, tw)
     run.packed = pw
+    run.s1 = s1
     return run

@@ -14,6 +14,7 @@ Two DIFFERENT rounding-bias placements, per the reference (do not unify):
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 THRESHOLD = 127
 
@@ -63,9 +64,18 @@ def blu_requant_i32(u: jnp.ndarray, blu_q: int, mul: int, shift: int) -> jnp.nda
     u > blu_q  -> 127;  u < 0 -> 0;  else ((u + (1<<(shift-1))//mul)*mul)>>shift.
     The else-branch product may wrap int32 for u >> blu_q; those lanes are
     discarded by the select (jnp integer overflow wraps, no UB).
+
+    blu_q/mul/shift: per-layer scalars or [out_ch] vectors broadcast over
+    u's channel axis (per-channel tables).
     """
+    blu_q = jnp.asarray(np.asarray(blu_q, np.int64), jnp.int32)
+    mul = np.asarray(mul, np.int64)
+    shift = np.asarray(shift, np.int64)
     bias = (1 << (shift - 1)) // mul
-    mid = jnp.right_shift((u + jnp.int32(bias)) * jnp.int32(mul), shift)
+    mid = jnp.right_shift(
+        (u + jnp.asarray(bias, jnp.int32)) * jnp.asarray(mul, jnp.int32),
+        jnp.asarray(shift, jnp.int32),
+    )
     return jnp.where(u > blu_q, THRESHOLD, jnp.where(u < 0, 0, mid))
 
 

@@ -58,8 +58,11 @@ class DistributedRunner:
     def __init__(self, params: EngineParams, mesh: Optional[Mesh] = None, impl: str = "auto"):
         self.mesh = mesh if mesh is not None else global_mesh()
         self.run = make_sharded_forward(params, self.mesh, impl=impl)
-        self._duplex = None  # lazily-built DuplexTransport over the
-        # SHARDED program (carries + wire state live in the transport)
+        # (geometry, batch_frames) -> DuplexTransport over the SHARDED
+        # program (carries + wire state live in the transport); keyed like
+        # Engine._duplex so a shape change builds a fresh wire instead of
+        # desyncing — and failure evicts only the failed key.
+        self._duplex: dict = {}
 
     def _shard(self, frames: np.ndarray):
         spec = (
@@ -97,9 +100,22 @@ class DistributedRunner:
         duplex failure falls back to raw (desynced transport evicted).
 
         batch_frames defaults to the mesh's dp extent (every chip gets a
-        frame per step)."""
+        frame per step).
+
+        Multi-host limitation: the streaming path feeds the global numpy
+        batch straight to the sharded program, which is only correct when
+        this process owns every addressable shard — use restore() (which
+        routes through make_array_from_process_local_data) from multi-host
+        launches."""
+        if jax.process_count() != 1:
+            raise NotImplementedError(
+                "restore_stream streams the GLOBAL batch from one process; "
+                "multi-host launches must use restore() per local shard "
+                f"(process_count={jax.process_count()})"
+            )
         bs = batch_frames or max(self.mesh.shape.get("dp", 1), 1)
         n = frames.shape[0]
+        key = (tuple(frames.shape[-2:]), bs)
         if transport == "duplex":
             try:
                 from qcnn_gpu_tpu.engine.packed import (
@@ -108,17 +124,20 @@ class DistributedRunner:
                 )
 
                 cut = (n // bs) * bs
-                if self._duplex is None:
-                    self._duplex = make_duplex_restore(
+                if key not in self._duplex:
+                    self._duplex[key] = make_duplex_restore(
                         lambda x: self.run(self._shard_traced(x))
                     )
                 batches = [frames[i : i + bs] for i in range(0, cut, bs)]
-                outs = pipeline_restore_duplex(self._duplex, batches, depth=depth)
+                outs = pipeline_restore_duplex(
+                    self._duplex[key], batches, depth=depth
+                )
                 if cut < n:
                     outs.append(self._restore_padded(frames[cut:], bs))
                 return np.concatenate(outs, axis=0)
             except Exception:
-                self._duplex = None  # never reuse a desynced transport
+                # never reuse a desynced transport; other keys stay valid
+                self._duplex.pop(key, None)
         from qcnn_gpu_tpu.engine.stream import pipeline_restore
 
         cut = (n // bs) * bs

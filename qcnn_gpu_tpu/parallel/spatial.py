@@ -116,12 +116,21 @@ def make_sharded_forward(
             kern = build_pallas_forward3(
                 p, interpret=interp, row_bounds=not two_d, col_bounds=two_d, **kw
             )
-        except Exception:
+        except Exception as e:
             # 'auto' degrades to the sharded XLA graph on a kernel build
             # failure (bad tuned config / Mosaic reject); explicit
-            # impl='pallas*' propagates
+            # impl='pallas*' propagates. The demotion is loud so a TPU
+            # mesh never silently loses the fast path (VERDICT r4).
             if impl != "auto":
                 raise
+            import warnings
+
+            warnings.warn(
+                "make_sharded_forward: pallas kernel build failed, "
+                f"demoting to the sharded XLA graph: {e!r}",
+                RuntimeWarning,
+                stacklevel=2,
+            )
 
     def _bounds(axis_name, extent):
         """(lo, hi) valid range inside a halo-extended block along a mesh

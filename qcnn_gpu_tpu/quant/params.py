@@ -24,6 +24,8 @@ import pickle
 import struct
 from typing import List, Sequence
 
+import numpy as np
+
 
 @dataclasses.dataclass(frozen=True)
 class LayerQuant:
@@ -47,6 +49,30 @@ class LayerQuant:
             mul=int(round(row[4])),
             shift=int(round(row[5])),
         )
+
+
+@dataclasses.dataclass(eq=False)
+class LayerQuantVec:
+    """Per-output-channel quantization row (the INT4 closure, round 5).
+
+    Same contract as LayerQuant with stepw/blu_q/mul/shift as [out_ch]
+    vectors: every channel carries its own weight grid and its own
+    (mul, shift) requant, equalized by the solver so all channels share
+    the SAME output pixel scale (ratio chains exactly as in the scalar
+    table; blu_adj is the common float-domain clip). The engine's merged
+    graph and Pallas epilogues already consume per-channel requant
+    vectors (MergedParams.vec), so these rows run through the identical
+    integer arithmetic. No reference analog — the reference solves one
+    stepw per layer (training/quantization.py:77-86); per-channel rows
+    exist to recover INT4 quality on channels the layer-wide grid
+    starves."""
+
+    stepw: "np.ndarray"
+    ratio: float
+    blu_adj: float
+    blu_q: "np.ndarray"
+    mul: "np.ndarray"
+    shift: "np.ndarray"
 
 
 class QuantTable:

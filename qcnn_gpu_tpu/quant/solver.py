@@ -27,7 +27,7 @@ from typing import List, Sequence, Tuple
 
 import numpy as np
 
-from qcnn_gpu_tpu.quant.params import LayerQuant, QuantTable
+from qcnn_gpu_tpu.quant.params import LayerQuant, LayerQuantVec, QuantTable
 
 # Per-QP initial BLU upper bounds in the float activation domain for the five
 # BLU layers (C1, C2_1, C2_2, C3_1, C3_2) + 0 for the linear C4. Observed
@@ -178,3 +178,103 @@ def stepw_from_weights(weights: Sequence[np.ndarray], bits: int = 8) -> List[flo
 def solve_from_weights(weights: Sequence[np.ndarray], qp: int) -> QuantTable:
     """Full offline solve from float weights, per QP. (quantNsave, py:66-98.)"""
     return solve_network(stepw_from_weights(weights), BLU_INIT[qp])
+
+
+# ---------------------------------------------------------------------------
+# Per-output-channel solve (the INT4 quality closure, round 5)
+# ---------------------------------------------------------------------------
+
+
+def stepw_per_channel(
+    weights: Sequence[np.ndarray], bits: int = 8
+) -> List[np.ndarray]:
+    """Per-OUTPUT-CHANNEL asymmetric abs-max weight steps.
+
+    Generalizes stepw_from_weights (quantization.py:77-86) from one step
+    per layer to one per out channel: channels with small weights get a
+    proportionally finer grid — on the 4-bit grid (15 levels) this is
+    where most of the INT8->INT4 quality loss lives. A channel whose
+    weights are all zero falls back to the layer-wide step (its grid is
+    irrelevant; avoids a zero divide)."""
+    hi_div = float((1 << (bits - 1)) - 1)
+    lo_div = float(1 << (bits - 1))
+    layer_steps = stepw_from_weights(weights, bits=bits)
+    out = []
+    for w, fallback in zip(weights, layer_steps):
+        hi = np.max(w, axis=(0, 1, 2))
+        lo = np.min(w, axis=(0, 1, 2))
+        s = np.maximum(hi / hi_div, -lo / lo_div)
+        out.append(np.where(s > 0, s, fallback).astype(np.float64))
+    return out
+
+
+def _equalize_channels(ratio: float, stepw: np.ndarray, blu: float):
+    """Per-channel (mul, shift) solve + exact common-output-scale
+    equalization.
+
+    Each channel first gets the standard window solve for its own
+    blu_q_c = round(blu*ratio/stepw_c). Channels then all adopt the
+    SMALLEST effective gain g_c = mul_c/(stepw_c*2^shift_c) — the same
+    direction as the reference's concat rule (quantization.py:42-45,
+    the stronger branch's stepw is re-derived from the weaker's), so
+    every adjustment only *increases* a stepw (weights still fit the
+    grid) by the rational-approximation slack (<0.5%). After
+    equalization blu_adj = 127*2^shift/mul*stepw/ratio is channel-
+    independent by construction. Returns (stepw', blu_adj, blu_q, mul,
+    shift, ratio_out)."""
+    stepw = np.asarray(stepw, np.float64)
+    muls, shifts = [], []
+    for s in stepw:
+        m, sh = solve_mul_shift(round(blu * ratio / s))
+        muls.append(m)
+        shifts.append(sh)
+    mul = np.asarray(muls, np.int64)
+    shift = np.asarray(shifts, np.int64)
+    gains = mul / (stepw * np.exp2(shift))
+    g = float(np.min(gains))
+    stepw_adj = mul / (np.exp2(shift) * g)
+    blu_adj = 127.0 / (ratio * g)
+    blu_q = np.asarray(
+        [round(blu_adj * ratio / s) for s in stepw_adj], np.int64
+    )
+    return stepw_adj, blu_adj, blu_q, mul, shift, ratio * g
+
+
+def solve_layer_pc(
+    ratio: float, stepw: np.ndarray, blu: float
+) -> Tuple[LayerQuantVec, float]:
+    """One BLU layer, per-channel. Returns (row, output ratio)."""
+    sw, blu_adj, blu_q, mul, shift, r_out = _equalize_channels(ratio, stepw, blu)
+    return LayerQuantVec(sw, ratio, blu_adj, blu_q, mul, shift), r_out
+
+
+def solve_concat_pc(
+    ratio: float, stepw1: np.ndarray, blu1: float, stepw2: np.ndarray, blu2: float
+) -> Tuple[LayerQuantVec, LayerQuantVec, float]:
+    """Concat branches solved JOINTLY: both take the max BLU bound
+    (quantization.py:33-34) and all channels of both branches equalize to
+    one common output scale — the per-channel generalization of the
+    reference's two-branch rule. Returns (row1, row2, output ratio)."""
+    hi = max(blu1, blu2)
+    n1 = len(stepw1)
+    sw, blu_adj, blu_q, mul, shift, r_out = _equalize_channels(
+        ratio, np.concatenate([stepw1, stepw2]), hi
+    )
+    mk = lambda sl: LayerQuantVec(  # noqa: E731
+        sw[sl], ratio, blu_adj, blu_q[sl], mul[sl], shift[sl]
+    )
+    return mk(slice(0, n1)), mk(slice(n1, None)), r_out
+
+
+def solve_network_per_channel(
+    stepw: Sequence[np.ndarray], blu: Sequence[float]
+) -> QuantTable:
+    """Per-channel analog of solve_network: identical ratio chain (the
+    equalized common scale IS ratio/stepw_c*mul_c/2^shift_c for every
+    channel), scalar solve_last for the single-channel output layer."""
+    ratio = 255.0
+    c1, ratio = solve_layer_pc(ratio, stepw[0], blu[0])
+    c2_1, c2_2, ratio = solve_concat_pc(ratio, stepw[1], blu[1], stepw[2], blu[2])
+    c3_1, c3_2, ratio = solve_concat_pc(ratio, stepw[3], blu[3], stepw[4], blu[4])
+    c4 = solve_last(ratio, float(np.asarray(stepw[5]).ravel()[0]))
+    return QuantTable([c1, c2_1, c2_2, c3_1, c3_2, c4])

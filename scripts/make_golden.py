@@ -64,7 +64,16 @@ def main():
                          "artifacts get an _int4 suffix)")
     ap.add_argument("--qps", type=int, nargs="*", default=None,
                     help="subset of QPs (default: all four)")
+    ap.add_argument("--per-channel", dest="per_channel", action="store_true",
+                    default=None,
+                    help="per-output-channel stepw + (mul, shift) "
+                         "(quant/solver.solve_network_per_channel); the "
+                         "default for --wbits 4, where the layer-wide grid "
+                         "starves small channels")
+    ap.add_argument("--no-per-channel", dest="per_channel", action="store_false")
     args = ap.parse_args()
+    if args.per_channel is None:
+        args.per_channel = args.wbits == 4
     suffix = "" if args.wbits == 8 else f"_int{args.wbits}"
 
     from qcnn_gpu_tpu.data import yuv

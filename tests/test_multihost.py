@@ -114,6 +114,11 @@ def test_distributed_runner_duplex_stream_bit_exact():
     # raw transport through the same mesh program agrees
     got_raw = r.restore_stream(frames, transport="raw", batch_frames=2)
     assert (got_raw == want).all()
+    # a different batch size builds a FRESH duplex wire instead of
+    # desyncing the cached one (per-(geometry, bs) cache, ADVICE r4)
+    got_b4 = r.restore_stream(frames, transport="duplex", batch_frames=4)
+    assert (got_b4 == want).all()
+    assert len(r._duplex) == 2, "expected one transport per (geometry, bs) key"
 
 
 def test_distributed_runner_duplex_on_2d_mesh():

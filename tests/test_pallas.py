@@ -122,7 +122,8 @@ def test_pallas3_variants():
     p = synth_engine_params(37)
     x = synth_frames(2, 40, 300, seed=7)
     want = O.forward_blu(x, p)
-    for kw in ({"dtype": jnp.bfloat16}, {"unroll": False}, {"wc": 2}):
+    for kw in ({"dtype": jnp.bfloat16}, {"unroll": False}, {"wc": 2},
+               {"kpad": True}):
         run = build_pallas_forward3(p, th=8, interpret=True, **kw)
         got = np.asarray(run(x))
         assert (got == want).all(), (kw, np.sum(got != want))

@@ -164,7 +164,11 @@ def cmd_calibrate(args) -> int:
     import numpy as np
 
     from qcnn_gpu_tpu.data import yuv
-    from qcnn_gpu_tpu.data.model_files import write_static_qfp_hwcn, write_static_qfp_vect_c
+    from qcnn_gpu_tpu.data.model_files import (
+        write_static_qfp_hwcn,
+        write_static_qfp_pc,
+        write_static_qfp_vect_c,
+    )
     from qcnn_gpu_tpu.engine.calibrate import calibrate_blu_bounds, quantize_model, solve_table
     from qcnn_gpu_tpu.models import float_model as FM
     from qcnn_gpu_tpu.train.checkpoint import load_checkpoint
@@ -178,15 +182,23 @@ def cmd_calibrate(args) -> int:
         blu = calibrate_blu_bounds(params, sample)
     else:
         blu = None
-    table = solve_table(params, blu_bounds=blu, qp=args.qp, wbits=args.wbits)
-    table.save_pickle(args.table_out)
+    per_channel = getattr(args, "per_channel", False) or args.model_format == "pc"
+    table = solve_table(params, blu_bounds=blu, qp=args.qp, wbits=args.wbits,
+                        per_channel=per_channel)
+    if not per_channel:
+        table.save_pickle(args.table_out)
     ep = quantize_model(params, table, wbits=args.wbits)
     if args.model_out:
-        if args.model_format == "vect_c":
+        if per_channel:
+            write_static_qfp_pc(args.model_out, ep)
+        elif args.model_format == "vect_c":
             write_static_qfp_vect_c(args.model_out, ep)
         else:
             write_static_qfp_hwcn(args.model_out, ep)
-    print(f"table -> {args.table_out}" + (f", model -> {args.model_out}" if args.model_out else ""))
+    msgs = [] if per_channel else [f"table -> {args.table_out}"]
+    if args.model_out:
+        msgs.append(f"model -> {args.model_out}")
+    print(", ".join(msgs) or "per-channel table solved (model-out not given)")
     return 0
 
 
@@ -375,7 +387,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--transport",
         default="raw",
-        choices=["raw", "duplex"],
+        choices=["raw", "duplex", "auto"],
         help="duplex = block-sparse temporal-delta H2D + packed-residual "
         "D2H (bit-exact; ~4x fewer wire bytes on static-camera content)",
     )
@@ -393,7 +405,7 @@ def build_parser() -> argparse.ArgumentParser:
         choices=["auto", "bf16", "int", "xla", "pallas", "pallas2", "pallas3"],
     )
     p.add_argument("--out-dir", default=".")
-    p.add_argument("--transport", default="raw", choices=["raw", "duplex"])
+    p.add_argument("--transport", default="raw", choices=["raw", "duplex", "auto"])
     p.set_defaults(fn=cmd_sweep)
 
     p = sub.add_parser("convert", help="model file format conversion")
@@ -433,6 +445,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--model-format", default="vect_c", choices=["vect_c", "hwcn", "pc"])
     p.add_argument("--wbits", type=int, default=8, choices=[4, 8],
                    help="weight grid: 8 (reference) or 4 (INT4 stretch)")
+    p.add_argument("--per-channel", action="store_true",
+                   help="per-output-channel stepw + (mul, shift) (INT4 "
+                        "quality closure); model file lands in the 'pc' "
+                        "format")
     p.set_defaults(fn=cmd_calibrate)
 
     p = sub.add_parser("finetune", help="shadow-weight quant-aware fine-tune")

@@ -217,6 +217,16 @@ def write_static_qfp_pc(path: PathOrIO, p: EngineParams) -> None:
             fp.close()
 
 
+def read_static_qfp_auto(path: str) -> EngineParams:
+    """Dispatch on the 8-byte magic: static-qfp-pc files (per-channel
+    extension) vs the reference's headerless NCHW_VECT_C layout."""
+    with open(path, "rb") as fp:
+        magic = fp.read(8)
+    if magic == STATIC_QFP_PC_MAGIC:
+        return read_static_qfp_pc(path)
+    return read_static_qfp_vect_c(path)
+
+
 def read_static_qfp_pc(path: PathOrIO) -> EngineParams:
     fp, close = _open(path, "rb")
     try:

@@ -56,6 +56,8 @@ class Engine:
         self._pallas_failed_geos: set = set()
         self._tiled_geos: set = set()  # (key, (H, W)) that need host tiling
         self._duplex: Dict[Tuple, tuple] = {}  # (qp, geo, bs) -> transport
+        # transport="auto" probe results: (qp, geo, bs) -> decision dict
+        self.transport_decisions: Dict[Tuple, dict] = {}
         self.tile = (540, 960)  # divided_run-analog tile for the fallback
 
     # ---- model management (load_static_para analog, qvrcnn.cu:47-63) ----
@@ -266,7 +268,14 @@ class Engine:
         packs BOTH copies (engine/packed.py: block-sparse temporal deltas
         up, nibble residuals down — bit-exact, ~4x fewer wire bytes on
         static-camera content); any failure of the packed path falls back
-        to the raw transport losslessly."""
+        to the raw transport losslessly. transport="auto" probes the LINK
+        (sustained MB/s of a real H2D+D2H round trip) against the warm
+        program's device rate and picks the duplex wire exactly when the
+        raw transport could not keep the device fed (link-bound) — the
+        per-(geometry, link-state) selection of VERDICT r4 #5; decisions
+        are recorded in self.transport_decisions."""
+        if transport == "auto":
+            transport = self._pick_transport(frames, qp)
         if transport == "duplex":
             try:
                 return self._restore_stream_duplex(frames, qp, depth)
@@ -291,6 +300,57 @@ class Engine:
             device=None,
         )
         return np.concatenate(outs, axis=0)
+
+    def _pick_transport(self, frames: np.ndarray, qp: int) -> str:
+        """Measured raw-vs-duplex decision for THIS (geometry, link phase).
+
+        Probe (a): sustained link MB/s via a jitted +1 round trip over one
+        real batch (H2D + D2H of the actual bytes — the same definition as
+        bench.py's in-window ceiling, just one-shot per stream).
+        Probe (b): the device rate of the warm program on device-resident
+        input. Raw keeps up iff link_fps >= ~device_fps; otherwise the
+        stream is link-bound and the block-sparse duplex wire wins (its
+        bytes/frame are content-dependent, so the decision is the
+        conservative link-bound test rather than a duplex byte model).
+        Decisions + measurements land in self.transport_decisions."""
+        import time
+
+        import jax
+
+        bs = min(self.batch_frames, frames.shape[0])
+        geo = tuple(frames.shape[-2:])
+        key = (qp, geo, bs)
+        if key in self.transport_decisions:
+            return self.transport_decisions[key]["transport"]
+        x = frames[:bs]
+        try:
+            bump = jax.jit(lambda a: a + 1)
+            np.asarray(bump(x))  # compile + first transfer outside timing
+            ts = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                np.asarray(bump(x))
+                ts.append(time.perf_counter() - t0)
+            link_mbps = 2 * x.nbytes / min(ts) / 1e6
+            link_fps = link_mbps * 1e6 / (2 * x.nbytes / bs)
+            run = self._program(qp, geo=geo)
+            xd = jax.device_put(x)
+            jax.block_until_ready(xd)
+            jax.block_until_ready(run(xd))  # compile outside timing
+            t0 = time.perf_counter()
+            jax.block_until_ready(run(xd))
+            dev_fps = bs / (time.perf_counter() - t0)
+            choice = "duplex" if link_fps < 0.8 * dev_fps else "raw"
+        except Exception:
+            choice = "raw"  # probing must never break the stream
+            link_mbps = link_fps = dev_fps = None
+        self.transport_decisions[key] = {
+            "transport": choice,
+            "link_mbps": link_mbps,
+            "link_fps": link_fps,
+            "device_fps": dev_fps,
+        }
+        return choice
 
     def _evict_duplex(self, qp: int, geo) -> None:
         """Drop the cached duplex transport for (qp, geometry): called on

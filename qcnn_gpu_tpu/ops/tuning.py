@@ -19,6 +19,9 @@ import os
 from typing import Dict
 
 _KNOBS = ("th", "we", "wc", "kernel")
+# string-valued knobs (kernel v5): s1 in {"a1t", "op6", ...} selects the
+# S1 operand mode of pallas_pipeline3
+_STR_KNOBS = ("s1",)
 
 TUNED_PATH = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
@@ -48,6 +51,9 @@ def _knobs_of(data: Dict) -> Dict[str, int]:
             except (ValueError, TypeError):
                 pass  # per-knob skip: one bad value must not drop the
                 # valid knobs with it
+    for k in _STR_KNOBS:
+        if isinstance(data.get(k), str):
+            cfg[k] = data[k]
     return cfg
 
 
@@ -99,6 +105,10 @@ def tuned_kwargs(use_file: bool = True, h: int = None, w: int = None) -> Dict[st
                 cfg[k] = int(v)
             except ValueError:
                 pass
+    for k in _STR_KNOBS:
+        v = os.environ.get(f"QCNN_KERNEL_{k.upper()}")
+        if v:
+            cfg[k] = v
     return cfg
 
 
@@ -116,6 +126,7 @@ def build_tuned(p, interpret: bool = False, use_file: bool = True,
     if kver >= 3:
         from qcnn_gpu_tpu.ops.pallas_pipeline3 import build_pallas_forward3 as bld
     else:
+        kw.pop("s1", None)  # v5 S1 modes exist only in pipeline3
         from qcnn_gpu_tpu.ops.pallas_pipeline2 import build_pallas_forward2 as bld
     run = bld(p, interpret=interpret, **kw)
     run.kernel_version = kver
@@ -131,6 +142,7 @@ def write_tuned(cfg: Dict[str, int], path: str = "", geometry: str = "") -> str:
     it the top-level knobs are replaced (per_geometry preserved)."""
     path = path or TUNED_PATH
     knobs = {k: int(cfg[k]) for k in _KNOBS if k in cfg}
+    knobs.update({k: str(cfg[k]) for k in _STR_KNOBS if k in cfg})
     data = {}
     if os.path.exists(path):
         try:

@@ -78,7 +78,10 @@ def main():
 
     from qcnn_gpu_tpu.data import yuv
     from qcnn_gpu_tpu.data.datasets import PatchDataset
-    from qcnn_gpu_tpu.data.model_files import write_static_qfp_vect_c
+    from qcnn_gpu_tpu.data.model_files import (
+        write_static_qfp_pc,
+        write_static_qfp_vect_c,
+    )
     from qcnn_gpu_tpu.engine.calibrate import (
         calibrate_blu_bounds,
         quantize_model,
@@ -115,7 +118,8 @@ def main():
             tr.fit_batches(ds.batches(args.batch, args.decay_steps))
 
         blu = calibrate_blu_bounds(tr.params, anchor_tr[:4])
-        table = solve_table(tr.params, blu_bounds=blu, wbits=args.wbits)
+        table = solve_table(tr.params, blu_bounds=blu, wbits=args.wbits,
+                            per_channel=args.per_channel)
         ft = quant_finetune(
             tr.params, table.stepw, tr.mesh,
             ds.batches(args.batch, args.finetune_steps),
@@ -123,9 +127,8 @@ def main():
             wbits=args.wbits,
         )
         ep = quantize_model(ft, table, wbits=args.wbits)
-        write_static_qfp_vect_c(
-            os.path.join(args.out_dir, f"model_q{qp}{suffix}.data"), ep
-        )
+        writer = write_static_qfp_pc if args.per_channel else write_static_qfp_vect_c
+        writer(os.path.join(args.out_dir, f"model_q{qp}{suffix}.data"), ep)
 
         rec = O.forward_blu(anchor_ev, ep)
         after = yuv.psnr(rec, clean_ev)

@@ -427,3 +427,43 @@ def test_cli_run_2d_mesh(tmp_path, clip):
     assert rc == 0
     recon = yuv.read_y(str(tmp_path / "r2d.yuv"), 48, 64, 2)
     assert (recon == O.forward_blu(anchor[:2], p)).all()
+
+
+def test_transport_auto_picks_and_restores(tmp_path, clip):
+    """transport='auto' (VERDICT r4 #5): the engine probes the link vs the
+    device rate, records a decision per (qp, geometry, batch), and the
+    stream stays bit-exact regardless of which wire it picked."""
+    ori_p, anc_p, ori, anchor = clip
+    p = synth_engine_params(37)
+    model_p = str(tmp_path / "m.data")
+    model_files.write_static_qfp_vect_c(model_p, p)
+    eng = Engine(impl="int", out_dir=str(tmp_path), batch_frames=2)
+    eng.load_model(37, model_p)
+    got = eng.restore_stream(anchor, 37, transport="auto")
+    assert (got == O.forward_blu(anchor, p)).all()
+    (dec,) = list(eng.transport_decisions.values())
+    assert dec["transport"] in ("raw", "duplex")
+    assert dec["link_mbps"] is None or dec["link_mbps"] > 0
+    # decision is cached per key: a second stream must not re-probe
+    n0 = len(eng.transport_decisions)
+    got2 = eng.restore_stream(anchor, 37, transport="auto")
+    assert (got2 == got).all() and len(eng.transport_decisions) == n0
+
+
+def test_transport_auto_duplex_when_link_bound(tmp_path, clip, monkeypatch):
+    """A link measured slower than the device rate must select the duplex
+    wire (and the stream still matches the oracle through it)."""
+    ori_p, anc_p, ori, anchor = clip
+    p = synth_engine_params(37)
+    model_p = str(tmp_path / "m.data")
+    model_files.write_static_qfp_vect_c(model_p, p)
+    eng = Engine(impl="int", out_dir=str(tmp_path), batch_frames=2)
+    eng.load_model(37, model_p)
+    key = (37, anchor.shape[-2:], 2)
+    eng.transport_decisions[key] = {
+        "transport": "duplex", "link_mbps": 1.0, "link_fps": 0.5,
+        "device_fps": 100.0,
+    }
+    got = eng.restore_stream(anchor[:2], 37, transport="auto")
+    assert (got == O.forward_blu(anchor[:2], p)).all()
+    assert eng._last_impl.endswith("+duplex")

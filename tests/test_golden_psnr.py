@@ -17,7 +17,11 @@ import pytest
 
 from qcnn_gpu_tpu.data import yuv
 from qcnn_gpu_tpu.data.golden import GOLDEN_DIR, QP_QUALITY, golden_clip, jpeg_anchor
-from qcnn_gpu_tpu.data.model_files import read_psnr_goldens, read_static_qfp_vect_c
+from qcnn_gpu_tpu.data.model_files import (
+    read_psnr_goldens,
+    read_static_qfp_auto,
+    read_static_qfp_vect_c,
+)
 from qcnn_gpu_tpu.models.qvrcnn import make_forward
 
 pytestmark = pytest.mark.skipif(
@@ -200,7 +204,9 @@ def test_int4_engine_reproduces_golden_psnr(qp, int4_goldens, eval_clip):
     anchor = jpeg_anchor(eval_clip, QP_QUALITY[qp])
     before = yuv.psnr(anchor, eval_clip)
     assert before == pytest.approx(g["before"], abs=0.01)
-    p = read_static_qfp_vect_c(os.path.join(GOLDEN_DIR, f"model_q{qp}_int4.data"))
+    # per-channel INT4 models ship in the static-qfp-pc format (round 5);
+    # scalar-table files keep the reference layout — sniffed by magic
+    p = read_static_qfp_auto(os.path.join(GOLDEN_DIR, f"model_q{qp}_int4.data"))
     # the committed file really is on the int4 grid
     for w in p.weights:
         assert w.min() >= -8 and w.max() <= 7

@@ -245,10 +245,15 @@ def main():
         d: dict = {}
         t0 = time.perf_counter()
 
-        def windows_of(fn, key, deadline=None):
+        def windows_of(fn, key, deadline=None, n=None):
+            """n overrides the slow-link window clamp: transports that move
+            ~10x fewer bytes than raw (duplex) stay cheap on a degraded
+            link, and a 2-sample median on a >30x-fluctuating wire is what
+            produced r4's unexplained 31% best/median spread at 2560x1600
+            (VERDICT r4 weak #4) — windows_duplex_2560x1600 had N=2."""
             ws = []
             end = deadline if deadline is not None else t0 + budget_s
-            for _ in range(2 if slow_link else n_windows):
+            for _ in range(n if n is not None else (2 if slow_link else n_windows)):
                 ws.append(round(fn(), 2))
                 _mark(f"{key} window -> {ws[-1]}")
                 if time.perf_counter() > end:
@@ -327,6 +332,7 @@ def main():
                     ),
                     "windows_duplex",
                     deadline=time.perf_counter() + budget_s / 2,
+                    n=n_windows,
                 )
         except Exception as e:
             duplex_exact = f"error: {type(e).__name__}"
@@ -379,7 +385,45 @@ def main():
         )
         return d
 
+    def batch1_section(rung, base_frames, baseline_fps):
+        """Single-frame latency rows (VERDICT r4 #4): the reference's
+        production loop is batch=1 per frame (kernel.cu:91-97), so its
+        per-frame minima are a LATENCY baseline. Reports device
+        ms/frame at batch 1 plus the transfer-inclusive single-frame
+        pipelined stream (raw transport — full frames both ways, the
+        reference's own loop shape)."""
+        from qcnn_gpu_tpu.engine.stream import measure_stream_fps
+
+        d = {}
+        try:
+            x1 = jax.device_put(base_frames[:1])
+            jax.block_until_ready(x1)
+            _mark("batch-1 compile")
+            o = rung(x1)
+            o.block_until_ready()  # compile outside timing
+            n1 = 16
+            t0 = time.perf_counter()
+            for _ in range(n1):
+                o = rung(x1)
+            o.block_until_ready()
+            d["ms_per_frame_device_batch1"] = round(
+                (time.perf_counter() - t0) / n1 * 1000, 3
+            )
+            singles = [base_frames[i : i + 1] for i in range(base_frames.shape[0])]
+            measure_stream_fps(rung, singles[:2], depth=DEPTH)  # warm loop
+            fps1 = measure_stream_fps(rung, singles, depth=DEPTH)
+            d["fps_incl_host_transfers_batch1"] = round(fps1, 2)
+            d["fps_incl_host_transfers_batch1_vs_baseline"] = round(
+                fps1 / baseline_fps, 2
+            )
+            _mark(f"batch-1: {d['ms_per_frame_device_batch1']} ms dev, "
+                  f"{d['fps_incl_host_transfers_batch1']} fps incl transfers")
+        except Exception as e:  # noqa: BLE001
+            d["ms_per_frame_device_batch1"] = f"error: {type(e).__name__}"
+        return d
+
     host = host_section(run, frames, BASELINE_FPS, HOST_WINDOWS, HOST_BUDGET_S)
+    host.update(batch1_section(run, frames, BASELINE_FPS))
     fps_host = host["fps_incl_host_transfers"]
 
     # The reference's OTHER benchmarked geometries (BASELINE.md, from
@@ -435,6 +479,7 @@ def main():
                 hg = host_section(rung, fg, base_fps, 4, HOST_BUDGET_S / 2,
                                   dev_fps=1000.0 / dev_ms)
                 hg["ms_per_frame_device"] = round(dev_ms, 3)
+                hg.update(batch1_section(rung, fg, base_fps))
                 dgeo.update({k + sfx: v for k, v in hg.items()})
             except Exception as e:
                 dgeo[f"fps_incl_host_transfers{sfx}"] = f"error: {type(e).__name__}"

@@ -29,6 +29,11 @@ CONFIGS = [
     (3, 128, 256, 1, 1080, 1920),
     (3, 64, 256, 2, 1080, 1920),
     (2, 64, 256, 2, 1080, 1920),  # v2 reference point (r2 best v2 config)
+    # r5: kernel v5 S1 operand modes (s1 7th field, default "a1t"); op6
+    # is the in-kernel tap restack (~5x smaller S1 operand) — measured
+    # winner at every geometry, kept in the grid for regression tracking
+    (3, 90, 256, 1, 1080, 1920, "op6"),
+    (3, 72, 256, 1, 1080, 1920, "op6"),
     # 240p class: small frames want small row tiles (nh at th=64 is 4)
     (3, 64, 256, 1, 240, 416),
     (3, 32, 256, 1, 240, 416),
@@ -52,10 +57,12 @@ from qcnn_gpu_tpu.testing import synth_engine_params, synth_frames
 
 kernel, th, we, wc = {kernel}, {th}, {we}, {wc}
 h, w = {h}, {w}
+s1 = {s1!r}
 p = synth_engine_params(37)
 xs = synth_frames(2, 48, 488, seed=1)
 gold = O.forward_blu(xs, p)
-run = build_tuned(p, use_file=False, kernel=kernel, th=th, we=we, wc=wc)
+kw = dict(s1=s1) if kernel >= 3 else {{}}
+run = build_tuned(p, use_file=False, kernel=kernel, th=th, we=we, wc=wc, **kw)
 exact = bool((np.asarray(run(xs)) == gold).all())
 # certify at the TIMED geometry too: tile-remainder handling differs per
 # (h, w). Gold comes from the XLA graph via the HOST-TILED path — this
@@ -76,7 +83,7 @@ for _ in range(n):
 out.block_until_ready()
 ms = 1000 * (time.perf_counter() - t0) / (n * batch)
 print("RESULT " + json.dumps({{"kernel": kernel, "th": th, "we": we,
-                               "wc": wc, "h": h, "w": w, "batch": batch,
+                               "wc": wc, "s1": s1, "h": h, "w": w, "batch": batch,
                                "ms_per_frame": round(ms, 3),
                                "exact": exact}}))
 """
@@ -95,12 +102,15 @@ def main(out_path="sweep_kernel_r3.jsonl", timeout_s=1500):
             # SWEEP_SKIP_ERRORS=1 to treat error rows as final.
             if "ms_per_frame" in r or os.environ.get("SWEEP_SKIP_ERRORS") == "1":
                 done.add((r.get("kernel", 2), r["th"], r["we"], r["wc"],
-                          r.get("h", 1080), r.get("w", 1920)))
-    for kernel, th, we, wc, h, w in CONFIGS:
-        if (kernel, th, we, wc, h, w) in done:
+                          r.get("h", 1080), r.get("w", 1920),
+                          r.get("s1", "a1t")))
+    for cfg in CONFIGS:
+        kernel, th, we, wc, h, w = cfg[:6]
+        s1 = cfg[6] if len(cfg) > 6 else "a1t"
+        if (kernel, th, we, wc, h, w, s1) in done:
             continue
         code = CHILD.format(repo=repo, kernel=kernel, th=th, we=we, wc=wc,
-                            h=h, w=w)
+                            h=h, w=w, s1=s1)
         try:
             cp = subprocess.run(
                 [sys.executable, "-u", "-c", code],
@@ -116,10 +126,11 @@ def main(out_path="sweep_kernel_r3.jsonl", timeout_s=1500):
                 # lines that actually name an error
                 tail = [l for l in lines if "rror" in l][-2:] or lines[-3:]
                 row = {"kernel": kernel, "th": th, "we": we, "wc": wc,
-                       "h": h, "w": w, "error": " | ".join(tail)[:300]}
+                       "s1": s1, "h": h, "w": w,
+                       "error": " | ".join(tail)[:300]}
         except subprocess.TimeoutExpired:
             row = {"kernel": kernel, "th": th, "we": we, "wc": wc,
-                   "h": h, "w": w, "error": f"timeout {timeout_s}s"}
+                   "s1": s1, "h": h, "w": w, "error": f"timeout {timeout_s}s"}
         with open(out_path, "a") as fp:
             fp.write(json.dumps(row) + "\n")
         print(row, flush=True)

@@ -84,12 +84,16 @@ def geometry_class(h: int, w: int, data: Dict = None) -> str:
     return min(cands, key=lambda k: abs(math.log(pixels(k) / (h * w))))
 
 
-def tuned_kwargs(use_file: bool = True, h: int = None, w: int = None) -> Dict[str, int]:
+def tuned_kwargs(use_file: bool = True, h: int = None, w: int = None,
+                 batch: int = None) -> Dict[str, int]:
     """Kernel-build kwargs from (in priority order) QCNN_KERNEL_* env vars,
     a per-geometry entry of the tuned file matching (h, w), the file's
     top-level knobs, else {} (the builder's own defaults). use_file=False
     skips the file tiers (used by the CPU interpret path, where the
-    hardware-tuned tile is wrong)."""
+    hardware-tuned tile is wrong). batch=1 additionally applies a
+    per-geometry "batch1" override block when present — the single-frame
+    LATENCY winner can differ from the throughput winner (measured at
+    1080p: th=72 at batch 1 vs th=90 at batch 16)."""
     cfg: Dict[str, int] = {}
     if use_file:
         data = _load_file()
@@ -97,7 +101,10 @@ def tuned_kwargs(use_file: bool = True, h: int = None, w: int = None) -> Dict[st
         if h and w:
             cls = geometry_class(h, w, data)
             if cls is not None:
-                cfg.update(_knobs_of(data["per_geometry"].get(cls, {})))
+                entry = data["per_geometry"].get(cls, {})
+                cfg.update(_knobs_of(entry))
+                if batch == 1 and isinstance(entry.get("batch1"), dict):
+                    cfg.update(_knobs_of(entry["batch1"]))
     for k in _KNOBS:
         v = os.environ.get(f"QCNN_KERNEL_{k.upper()}")
         if v:
@@ -113,14 +120,14 @@ def tuned_kwargs(use_file: bool = True, h: int = None, w: int = None) -> Dict[st
 
 
 def build_tuned(p, interpret: bool = False, use_file: bool = True,
-                h: int = None, w: int = None, **overrides):
+                h: int = None, w: int = None, batch: int = None, **overrides):
     """Build the fused Pallas forward through the tuned config, selecting
     the kernel generation with the `kernel` knob (3 = width-packed
     pallas_pipeline3, the default; 2 = frame-pair pallas_pipeline2).
     Pass (h, w) to pick a per-geometry entry of the tuned table (the
     built fn still accepts any frame shape — the geometry only selects
     the tile config it is fastest at). Extra kwargs override everything."""
-    kw = tuned_kwargs(use_file=use_file, h=h, w=w)
+    kw = tuned_kwargs(use_file=use_file, h=h, w=w, batch=batch)
     kw.update(overrides)
     kver = int(kw.pop("kernel", 3))
     if kver >= 3:

@@ -208,3 +208,19 @@ def test_mesh_shape_2d_heuristic():
     # few rows force the spatial factor onto columns
     dp, sp, sw = mesh_shape_for(8, frames=1, rows=128, cols=3840)
     assert (dp, sp) == (1, 2) and sw > 1
+
+
+def test_sharded_pallas3_op6_bit_exact(monkeypatch):
+    """Kernel v5 (s1=op6, the in-kernel S1 tap restack) UNDER the mesh:
+    the tuned-file s1 knob reaches the sharded kernel build (via the
+    QCNN_KERNEL_S1 env tier) and the halo-sharded program stays bit-exact
+    incl. the dynamic frame-bound masks."""
+    _need_devices(4)
+    monkeypatch.setenv("QCNN_KERNEL_S1", "op6")
+    p = synth_engine_params(27)
+    mesh = make_mesh(2, 2)
+    run = make_sharded_forward(p, mesh, impl="pallas3")
+    x = synth_frames(4, 2 * 24, 300, seed=77)
+    want = O.forward_blu(x, p)
+    got = np.asarray(run(x))
+    assert (got == want).all(), f"{np.sum(got != want)} mismatches (op6 x mesh)"

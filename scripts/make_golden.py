@@ -133,6 +133,10 @@ def main():
         rec = O.forward_blu(anchor_ev, ep)
         after = yuv.psnr(rec, clean_ev)
         goldens[qp] = {"before": round(before, 6), "after": round(after, 6)}
+        if args.wbits != 8:
+            # the INT4 set may mix solvers per QP (measured best wins;
+            # see PARITY round-5: per-channel helps three QPs, hurts QP27)
+            goldens[qp]["per_channel"] = bool(args.per_channel)
         print(f"QP{qp}: {before:.3f} -> {after:.3f} dB "
               f"({after - before:+.3f})", flush=True)
         with open(os.path.join(args.out_dir,

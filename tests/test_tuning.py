@@ -140,3 +140,63 @@ def test_geometry_class_none_without_table(clean_env, tmp_path):
     clean_env.setenv("QCNN_KERNEL_CONFIG", path)
     assert tuning.geometry_class(1080, 1920) is None
     assert tuning.tuned_kwargs(h=1080, w=1920) == {"th": 64}
+
+
+def test_s1_knob_roundtrip_env_and_file(clean_env, tmp_path):
+    """The kernel-v5 string knob (s1) travels through write_tuned, the
+    file tier, and the QCNN_KERNEL_S1 env tier."""
+    path = str(tmp_path / "tuned.json")
+    tuning.write_tuned({"th": 90, "s1": "op6", "kernel": 3}, path)
+    clean_env.setenv("QCNN_KERNEL_CONFIG", path)
+    assert tuning.tuned_kwargs() == {"th": 90, "kernel": 3, "s1": "op6"}
+    clean_env.setenv("QCNN_KERNEL_S1", "a1t")
+    assert tuning.tuned_kwargs()["s1"] == "a1t"
+    clean_env.delenv("QCNN_KERNEL_S1")
+    # non-string s1 in the file is skipped, not fatal
+    import json as _json
+
+    with open(path) as fp:
+        data = _json.load(fp)
+    data["s1"] = 7
+    with open(path, "w") as fp:
+        _json.dump(data, fp)
+    assert "s1" not in tuning.tuned_kwargs()
+
+
+def test_batch1_override_block(clean_env, tmp_path):
+    """per_geometry entries may carry a batch1 sub-block applied only for
+    batch=1 builds (latency winner != throughput winner)."""
+    import json as _json
+
+    path = str(tmp_path / "tuned.json")
+    with open(path, "w") as fp:
+        _json.dump(
+            {
+                "th": 64,
+                "per_geometry": {
+                    "1080x1920": {"th": 90, "s1": "op6", "batch1": {"th": 72}}
+                },
+            },
+            fp,
+        )
+    clean_env.setenv("QCNN_KERNEL_CONFIG", path)
+    kwN = tuning.tuned_kwargs(h=1080, w=1920)
+    kw1 = tuning.tuned_kwargs(h=1080, w=1920, batch=1)
+    assert kwN["th"] == 90 and kw1["th"] == 72
+    assert kw1["s1"] == "op6"  # non-overridden knobs inherited
+    # other batch sizes ignore the block
+    assert tuning.tuned_kwargs(h=1080, w=1920, batch=16)["th"] == 90
+
+
+def test_build_tuned_s1_reaches_kernel(clean_env, tmp_path):
+    """s1 from the tuned file reaches build_pallas_forward3 (run.s1)."""
+    import json as _json
+
+    path = str(tmp_path / "tuned.json")
+    with open(path, "w") as fp:
+        _json.dump({"th": 8, "we": 256, "s1": "op6", "kernel": 3}, fp)
+    clean_env.setenv("QCNN_KERNEL_CONFIG", path)
+    from qcnn_gpu_tpu.testing import synth_engine_params
+
+    run = tuning.build_tuned(synth_engine_params(37), interpret=True)
+    assert run.s1 == "op6"

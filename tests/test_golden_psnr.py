@@ -45,7 +45,7 @@ def eval_clip():
 @pytest.mark.parametrize("qp", sorted(QP_QUALITY))
 def test_engine_reproduces_golden_psnr(qp, goldens, eval_clip):
     g = goldens["goldens"][str(qp)]
-    anchor = jpeg_anchor(eval_clip, QP_QUALITY[qp])
+    anchor = jpeg_anchor(eval_clip, QP_QUALITY[qp], tag="hopper_eval")
     before = yuv.psnr(anchor, eval_clip)
     assert before == pytest.approx(g["before"], abs=0.01), (
         "anchor generation drifted (PIL JPEG changed?) — regenerate goldens"
@@ -80,7 +80,7 @@ def test_cli_run_reproduces_golden(tmp_path, goldens, eval_clip, capsys):
     from qcnn_gpu_tpu import cli
 
     qp = 37
-    anchor = jpeg_anchor(eval_clip, QP_QUALITY[qp])
+    anchor = jpeg_anchor(eval_clip, QP_QUALITY[qp], tag="hopper_eval")
     yuv.write_y_as_420(str(tmp_path / "ori.yuv"), eval_clip)
     yuv.write_y_as_420(str(tmp_path / "anchor.yuv"), anchor)
     rc = cli.main(
@@ -131,7 +131,7 @@ def composite_eval_clip(composite_goldens):
 @pytest.mark.parametrize("qp", sorted(QP_QUALITY))
 def test_engine_reproduces_composite_golden(qp, composite_goldens, composite_eval_clip):
     g = composite_goldens["goldens"][str(qp)]
-    anchor = jpeg_anchor(composite_eval_clip, QP_QUALITY[qp])
+    anchor = jpeg_anchor(composite_eval_clip, QP_QUALITY[qp], tag="composite_eval")
     before = yuv.psnr(anchor, composite_eval_clip)
     assert before == pytest.approx(g["before"], abs=0.01), (
         "composite anchor drifted (PIL JPEG changed?) — regenerate goldens"
@@ -151,7 +151,7 @@ def test_composite_golden_via_tiled_path(composite_goldens, composite_eval_clip)
 
     qp = 37
     g = composite_goldens["goldens"][str(qp)]
-    anchor = jpeg_anchor(composite_eval_clip, QP_QUALITY[qp])
+    anchor = jpeg_anchor(composite_eval_clip, QP_QUALITY[qp], tag="composite_eval")
     p = read_static_qfp_vect_c(os.path.join(GOLDEN_DIR, f"model_q{qp}.data"))
     rec = restore_tiled(make_forward(p, impl="auto"), anchor, 256, 448)
     after = yuv.psnr(rec, composite_eval_clip)
@@ -168,7 +168,7 @@ def test_golden_via_duplex_transport(goldens, eval_clip):
 
     qp = 37
     g = goldens["goldens"][str(qp)]
-    anchor = jpeg_anchor(eval_clip, QP_QUALITY[qp])
+    anchor = jpeg_anchor(eval_clip, QP_QUALITY[qp], tag="hopper_eval")
     eng = Engine(impl="auto", batch_frames=4)
     eng.load_model(qp, os.path.join(GOLDEN_DIR, f"model_q{qp}.data"))
     rec = eng.restore_stream(anchor, qp, transport="duplex")
@@ -201,7 +201,7 @@ def test_int4_engine_reproduces_golden_psnr(qp, int4_goldens, eval_clip):
     g = int4_goldens["goldens"].get(str(qp))
     if g is None:
         pytest.skip(f"no INT4 golden for QP{qp}")
-    anchor = jpeg_anchor(eval_clip, QP_QUALITY[qp])
+    anchor = jpeg_anchor(eval_clip, QP_QUALITY[qp], tag="hopper_eval")
     before = yuv.psnr(anchor, eval_clip)
     assert before == pytest.approx(g["before"], abs=0.01)
     # per-channel INT4 models ship in the static-qfp-pc format (round 5);
@@ -255,7 +255,7 @@ def test_engine_reproduces_1080p_golden(qp, goldens_1080p, fullhd_eval):
     g = goldens_1080p["goldens"].get(str(qp))
     if g is None:
         pytest.skip(f"no 1080p golden for QP{qp}")
-    anchor = jpeg_anchor(fullhd_eval, QP_QUALITY[qp])
+    anchor = jpeg_anchor(fullhd_eval, QP_QUALITY[qp], tag="fullhd_eval")
     before = yuv.psnr(anchor, fullhd_eval)
     assert before == pytest.approx(g["before"], abs=0.01)
     p = read_static_qfp_vect_c(os.path.join(GOLDEN_DIR, f"model_q{qp}.data"))
@@ -282,7 +282,7 @@ def test_pallas3_tuned_reproduces_1080p_golden(goldens_1080p, fullhd_eval):
         pytest.skip("no 1080p golden for QP37")
     from qcnn_gpu_tpu.ops.pallas_pipeline3 import build_pallas_forward3
 
-    anchor = jpeg_anchor(fullhd_eval[:1], QP_QUALITY[qp])
+    anchor = jpeg_anchor(fullhd_eval, QP_QUALITY[qp], tag="fullhd_eval")[:1]
     p = read_static_qfp_vect_c(os.path.join(GOLDEN_DIR, f"model_q{qp}.data"))
     kw = {k: v for k, v in tuned_kwargs(h=1080, w=1920).items() if k != "kernel"}
     run = build_pallas_forward3(p, interpret=True, **kw)

@@ -291,3 +291,23 @@ def test_pallas3_tuned_reproduces_1080p_golden(goldens_1080p, fullhd_eval):
     assert (got == want).all(), (
         f"tuned pallas3 diverges from XLA at 1080p: {np.sum(got != want)} px"
     )
+
+
+def test_int4_pc_golden_via_duplex_transport(int4_goldens, eval_clip):
+    """Composition: the committed per-channel INT4 model (QP37, pc
+    format) streamed through the duplex block-sparse wire reproduces its
+    committed golden — the round-5 quantization extension and the wire
+    transport exercised together."""
+    from qcnn_gpu_tpu.engine import Engine
+
+    qp = 37
+    g = int4_goldens["goldens"].get(str(qp))
+    if g is None or not g.get("per_channel"):
+        pytest.skip("no per-channel INT4 golden for QP37")
+    anchor = jpeg_anchor(eval_clip, QP_QUALITY[qp], tag="hopper_eval")
+    eng = Engine(impl="auto", batch_frames=4)
+    eng.load_model(qp, os.path.join(GOLDEN_DIR, f"model_q{qp}_int4.data"),
+                   fmt="pc")
+    rec = eng.restore_stream(anchor, qp, transport="duplex")
+    assert yuv.psnr(rec, eval_clip) == pytest.approx(g["after"], abs=0.01)
+    assert (rec == eng.restore(anchor, qp)).all()

@@ -206,6 +206,28 @@ def fullhd_clip(n: int = N_EVAL3, phase: float = 0.0) -> np.ndarray:
     return np.stack([img[y : y + H3, x : x + W3] for y, x in zip(y0, x0)])
 
 
+# ---------------------------------------------------------------------------
+# Fourth golden geometry (round 5): 2560x1600 — the reference's CLASS A,
+# the largest geometry its psnr_static goldens span. Same mirror-tiling
+# construction, one more level up.
+# ---------------------------------------------------------------------------
+
+H4, W4 = 1600, 2560
+N_EVAL4 = 2
+
+
+def classa_clip(n: int = N_EVAL4, phase: float = 0.0) -> np.ndarray:
+    """Deterministic pan over a 3x3 mirror-tiled composite at 2560x1600."""
+    base = composite_canvas()
+    row = np.concatenate([base, base[:, ::-1], base], axis=1)  # seam-free
+    img = np.concatenate([row, row[::-1], row], axis=0)  # [2160, 3456]
+    ih, iw = img.shape
+    t = (np.arange(n) + phase) / max(n, 1)
+    y0 = np.round(t * (ih - H4)).astype(int)
+    x0 = np.round((0.5 + 0.5 * np.sin(2 * np.pi * t)) * (iw - W4)).astype(int)
+    return np.stack([img[y : y + H4, x : x + W4] for y, x in zip(y0, x0)])
+
+
 def composite_clip(n: int = N_EVAL2, phase: float = 0.0) -> np.ndarray:
     """Deterministic camera pan over the composite at 832x480 — motion
     across region boundaries so every frame mixes the content families

@@ -311,3 +311,46 @@ def test_int4_pc_golden_via_duplex_transport(int4_goldens, eval_clip):
     rec = eng.restore_stream(anchor, qp, transport="duplex")
     assert yuv.psnr(rec, eval_clip) == pytest.approx(g["after"], abs=0.01)
     assert (rec == eng.restore(anchor, qp)).all()
+
+
+# ---------------------------------------------------------------------------
+# Class-A golden (round 5): 2560x1600, the LARGEST geometry the
+# reference's psnr_static goldens span — committed models held out at the
+# class-A scale through the host-tiled engine path.
+# ---------------------------------------------------------------------------
+
+_CLASSA_JSON = os.path.join(GOLDEN_DIR, "psnr_golden_classa.json")
+
+
+@pytest.fixture(scope="module")
+def goldens_classa():
+    if not os.path.exists(_CLASSA_JSON):
+        pytest.skip("class-A goldens not generated (scripts/make_golden_classa.py)")
+    with open(_CLASSA_JSON) as fp:
+        return json.load(fp)
+
+
+@pytest.fixture(scope="module")
+def classa_eval():
+    from qcnn_gpu_tpu.data.golden import classa_clip
+
+    return classa_clip()
+
+
+@pytest.mark.parametrize("qp", [22, 37])  # PSNR extremes; 2x 4.1 Mpx
+def test_engine_reproduces_classa_golden(qp, goldens_classa, classa_eval):
+    from qcnn_gpu_tpu.engine.tiled import restore_tiled
+
+    g = goldens_classa["goldens"].get(str(qp))
+    if g is None:
+        pytest.skip(f"no class-A golden for QP{qp}")
+    anchor = jpeg_anchor(classa_eval, QP_QUALITY[qp], tag="classa_eval")
+    before = yuv.psnr(anchor, classa_eval)
+    assert before == pytest.approx(g["before"], abs=0.01)
+    p = read_static_qfp_vect_c(os.path.join(GOLDEN_DIR, f"model_q{qp}.data"))
+    rec = restore_tiled(make_forward(p, impl="auto"), anchor, 540, 960)
+    after = yuv.psnr(rec, classa_eval)
+    assert after == pytest.approx(g["after"], abs=0.01), (
+        f"QP{qp} classA: engine PSNR {after:.4f} vs golden {g['after']:.4f}"
+    )
+    assert after > before, f"QP{qp} classA: no gain ({before:.3f} -> {after:.3f})"
